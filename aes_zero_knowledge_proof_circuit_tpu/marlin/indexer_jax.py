@@ -1,0 +1,141 @@
+"""Marlin indexing with device-side NTTs and commitments.
+
+Same protocol output as marlin/indexer.index (the host oracle), but the
+index-polynomial interpolations and the 9 KZG commitments run on device —
+at AES scale (|K| ~ 2^19) the host path would spend minutes in Python NTTs
+and hours in MSMs (reference analog: generate_proving_and_verifying_keys,
+src/lib.rs:173, SURVEY.md §3.1 "12 index polys ... commit [FFT+MSM; HOT]").
+
+The returned MarlinProvingKey carries `coeff = None` matrix polys (device
+recomputes them in JaxProver) plus a cached DevicePoints handle for the SRS.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.r1cs import R1CS
+from ..ops import kzg, poly_jax as P
+from ..ops.field_jax import fr_ops
+from ..ops.field_params import R_MOD, inv_mod
+from ..ops.limbs import ints_to_limbs
+from ..ops.msm_jax import DevicePoints, msm_device
+from ..ops.poly_host import domain
+from .indexer import (
+    MarlinProvingKey,
+    MarlinVerifyingKey,
+    MatrixIndex,
+    _next_pow2_log,
+)
+
+F = fr_ops()
+
+
+def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
+    log_x = _next_pow2_log(r1cs.num_instance)
+    x_size = 1 << log_x
+    log_n = _next_pow2_log(max(r1cs.num_constraints, r1cs.num_variables))
+    while (1 << log_n) - x_size < r1cs.num_witness or (1 << log_n) < x_size:
+        log_n += 1
+    n = 1 << log_n
+    h = domain(log_n)
+
+    stride = n // x_size
+    var_to_slot = [0] * r1cs.num_variables
+    reserved = set(range(0, n, stride))
+    for j in range(r1cs.num_instance):
+        var_to_slot[j] = j * stride
+    free_slots = [s for s in range(n) if s not in reserved]
+    for w in range(r1cs.num_witness):
+        var_to_slot[r1cs.num_instance + w] = free_slots[w]
+
+    srs_dev = DevicePoints(srs.powers_g1)
+    h_pows = P.powers(P.scalar(h.omega), n)
+    n_inv = P.scalar(inv_mod(n, R_MOD))
+    one_raw = jnp.asarray(np.array([1] + [0] * (F.L - 1), np.uint32))
+
+    matrices: List[MatrixIndex] = []
+    comms: List[kzg.Commitment] = []
+    for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
+        row_slots, col_slots, vals = [], [], []
+        for i, row in enumerate(rows):
+            for c, v in sorted(row.items()):
+                row_slots.append(i)
+                col_slots.append(var_to_slot[c])
+                vals.append(v)
+        nnz = len(vals)
+        log_k = _next_pow2_log(nnz)
+        k = 1 << log_k
+        row_slots += [0] * (k - nnz)
+        col_slots += [0] * (k - nnz)
+        vals += [0] * (k - nnz)
+
+        row_evals = h_pows[jnp.asarray(np.asarray(row_slots, np.int32))]
+        col_evals = h_pows[jnp.asarray(np.asarray(col_slots, np.int32))]
+        vals_signed = np.asarray(
+            [v if v < R_MOD // 2 else v - R_MOD for v in vals], np.int64
+        )
+        from .prover_jax import _small_to_mont
+
+        val_raw = _small_to_mont(jnp.asarray(vals_signed.astype(np.int32)))
+        val_norm = F.mul(F.mul(val_raw, col_evals), n_inv[None, :])
+        row_coeffs = P.intt(log_k, row_evals)
+        col_coeffs = P.intt(log_k, col_evals)
+        val_coeffs = P.intt(log_k, val_norm)
+
+        def commit_dev(coeffs):
+            digits = F.mul(coeffs, one_raw[None, :])
+            return kzg.Commitment(
+                msm_device(srs_dev.slice(0, digits.shape[0]), digits)
+            )
+
+        comm_row = commit_dev(row_coeffs)
+        comm_col = commit_dev(col_coeffs)
+        comm_val = commit_dev(val_coeffs)
+        comms += [comm_row, comm_col, comm_val]
+        matrices.append(
+            MatrixIndex(
+                log_k=log_k,
+                nnz=nnz,
+                row_slots=row_slots,
+                col_slots=col_slots,
+                vals=vals,
+                row_evals=None,
+                col_evals=None,
+                val_evals=None,
+                row_coeffs=None,
+                col_coeffs=None,
+                val_coeffs=None,
+                comm_row=comm_row,
+                comm_col=comm_col,
+                comm_val=comm_val,
+            )
+        )
+
+    need = max(2 * n + 2, 2 * max(m.k for m in matrices))
+    assert srs.max_degree >= need, (
+        f"SRS degree {srs.max_degree} below required {need}"
+    )
+    vk = MarlinVerifyingKey(
+        kzg_vk=srs.verifier_part(),
+        log_n=log_n,
+        log_x=log_x,
+        num_instance=r1cs.num_instance,
+        log_ks=[m.log_k for m in matrices],
+        max_degree=srs.max_degree,
+        index_comms=comms,
+    )
+    pk = MarlinProvingKey(
+        srs=srs,
+        vk=vk,
+        r1cs=r1cs,
+        log_n=log_n,
+        log_x=log_x,
+        var_to_slot=var_to_slot,
+        matrices=matrices,
+    )
+    pk._srs_dev = srs_dev
+    return pk

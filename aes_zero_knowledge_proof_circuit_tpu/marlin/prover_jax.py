@@ -1,0 +1,436 @@
+"""Marlin prover with all heavy math on device (JAX / TPU).
+
+Mirrors marlin/prover.py round-for-round (SURVEY.md §3.2 call stack) but
+keeps every polynomial, NTT, batch inversion and MSM in limb tensors on
+device; the host only sees commitments (for the Fiat-Shamir transcript),
+challenges, and the final proof object. With zk=False the output is
+byte-identical to the host prover — the cross-check in
+tests/test_prover_jax.py pins the two implementations together.
+
+Static per-circuit data (index polynomial evaluations, H-power tables, SRS
+points) are pushed to device once in `JaxProver.__init__` and reused across
+proofs — the reference re-synthesizes its circuit per proof, which is its
+dominant overhead (SURVEY.md §3.2), while this prover's per-proof work is
+pure tensor compute.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kzg, msm_host, poly_jax as P
+from ..ops.curve_host import AffinePoint
+from ..ops.field_jax import fr_ops
+from ..ops.field_params import R_MOD, inv_mod, root_of_unity
+from ..ops.limbs import from_mont, ints_to_limbs
+from ..ops.msm_jax import DevicePoints, msm_device
+from ..ops.poly_host import domain, poly_div_linear
+from ..utils.transcript import Transcript
+from .indexer import MarlinProvingKey
+from .prover import MarlinProof
+
+F = fr_ops()
+L = F.L
+_ONE_RAW = jnp.asarray(
+    np.array([1] + [0] * (L - 1), np.uint32)
+)
+
+
+def _to_std(coeffs_mont: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> standard-form limbs (= MSM digit decomposition)."""
+    return F.mul(coeffs_mont, _ONE_RAW[None, :])
+
+
+def _small_to_mont(vals: jnp.ndarray) -> jnp.ndarray:
+    """[N] int32 (|v| < 2^20) -> Montgomery limb tensor."""
+    neg = vals < 0
+    mag = jnp.abs(vals).astype(jnp.uint32)
+    limb0 = mag & jnp.uint32(0xFFFF)
+    limb1 = mag >> 16
+    rest = jnp.zeros(vals.shape + (L - 2,), jnp.uint32)
+    raw = jnp.concatenate([limb0[..., None], limb1[..., None], rest], axis=-1)
+    r2 = jnp.asarray(ints_to_limbs([F.ctx.R2_mod], L)[0])
+    mont = F.mul(raw, r2)
+    return F.select(neg, F.neg(mont), mont)
+
+
+def _sparse_ints(positions: Sequence[int], values: Sequence[int],
+                 length: int) -> jnp.ndarray:
+    """Host sparse int poly -> dense device dpoly."""
+    arr = np.zeros((length, L), np.uint32)
+    lim = ints_to_limbs([v % R_MOD * F.ctx.R_mod % R_MOD for v in values], L)
+    for p, row in zip(positions, lim):
+        arr[p] = row
+    return jnp.asarray(arr)
+
+
+def _rand_mont(rng: _random.Random, n: int) -> jnp.ndarray:
+    """n uniform field elements in Montgomery form, generated vectorized."""
+    raw = np.frombuffer(rng.randbytes(n * 2 * L), dtype="<u2")
+    raw = raw.reshape(n, L).astype(np.uint32)
+    r2 = jnp.asarray(ints_to_limbs([F.ctx.R2_mod], L)[0])
+    return F.mul(jnp.asarray(raw), r2)  # (256-bit uniform) * R mod r
+
+
+class JaxProver:
+    """Device-resident prover bound to one proving key."""
+
+    def __init__(self, pk: MarlinProvingKey):
+        self.pk = pk
+        self.n = pk.n
+        self.log_n = pk.log_n
+        self.x_size = pk.x_size
+        self.d_max = pk.srs.max_degree
+        r1cs = pk.r1cs
+
+        # SRS powers on device (reuse the indexer's upload when present)
+        self.srs_dev = getattr(pk, "_srs_dev", None) or DevicePoints(
+            pk.srs.powers_g1
+        )
+
+        # matrices as COO int arrays for z_M = M z over bit witnesses
+        self.coo = []
+        for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
+            ri, ci, vi = [], [], []
+            for i, row in enumerate(rows):
+                for c, v in sorted(row.items()):
+                    ri.append(i)
+                    ci.append(c)
+                    vi.append(v if v < R_MOD // 2 else v - R_MOD)
+            self.coo.append(
+                (
+                    jnp.asarray(np.asarray(ri, np.int32)),
+                    jnp.asarray(np.asarray(ci, np.int32)),
+                    jnp.asarray(np.asarray(vi, np.int32)),
+                )
+            )
+
+        self.var_to_slot = jnp.asarray(np.asarray(pk.var_to_slot, np.int32))
+
+        # H powers and per-matrix index data on device
+        h = domain(self.log_n)
+        self.h_pows = P.powers(P.scalar(h.omega), self.n)
+        n_inv = P.scalar(inv_mod(self.n, R_MOD))
+        self.mat = []
+        for m, (ri, ci, vi) in zip(pk.matrices, self.coo):
+            k = m.k
+            row_slots = jnp.asarray(np.asarray(m.row_slots, np.int32))
+            col_slots = jnp.asarray(np.asarray(m.col_slots, np.int32))
+            row_evals = self.h_pows[row_slots]
+            col_evals = self.h_pows[col_slots]
+            nnz = m.nnz
+            val_signed = np.zeros(k, np.int64)
+            for j, v in enumerate(m.vals):
+                val_signed[j] = v if v < R_MOD // 2 else v - R_MOD
+            val_raw = _small_to_mont(jnp.asarray(val_signed.astype(np.int32)))
+            val_norm = F.mul(F.mul(val_raw, col_evals), n_inv[None, :])
+            self.mat.append(
+                dict(
+                    log_k=m.log_k,
+                    k=k,
+                    nnz=nnz,
+                    row_evals=row_evals,
+                    col_evals=col_evals,
+                    col_slots=col_slots,
+                    val_raw=val_raw,
+                    val_norm=val_norm,
+                    row_coeffs=P.intt(m.log_k, row_evals),
+                    col_coeffs=P.intt(m.log_k, col_evals),
+                    val_coeffs=P.intt(m.log_k, val_norm),
+                )
+            )
+
+        # 4n-domain tables for the outer sumcheck
+        h4 = domain(self.log_n + 2)
+        self.h4_pows = P.powers(P.scalar(h4.omega), h4.n)
+        wn4 = pow(h4.omega, self.n, R_MOD)
+        cyc = [(pow(wn4, i, R_MOD) - 1) % R_MOD for i in range(4)]
+        self.vh_on_h4 = jnp.asarray(
+            np.tile(np.asarray(ints_to_limbs(
+                [c * F.ctx.R_mod % R_MOD for c in cyc], L)), (h4.n // 4, 1))
+        )
+
+    # -- commitment helper -------------------------------------------------
+
+    def _commit(self, coeffs_mont: jnp.ndarray, offset: int = 0,
+                hiding: bool = False, rng: Optional[_random.Random] = None):
+        digits = _to_std(coeffs_mont)
+        point = msm_device(self.srs_dev.slice(offset, digits.shape[0]), digits)
+        rand_poly = None
+        if hiding:
+            rand_poly = [rng.randrange(R_MOD) for _ in range(2)]
+            hid = msm_host.msm(self.pk.srs.gamma_powers_g1[:2], rand_poly)
+            point = point.add(hid)
+        return kzg.Commitment(point), rand_poly
+
+    # -- main --------------------------------------------------------------
+
+    def prove(
+        self,
+        instance: Sequence[int],
+        witness_bits: np.ndarray,
+        rng: Optional[_random.Random] = None,
+        zk: bool = True,
+    ) -> MarlinProof:
+        """instance: list of field elements ([1] + ciphertext bits).
+        witness_bits: int32 array of all witness values (bits)."""
+        rng = rng or _random.Random()
+        pk = self.pk
+        r1cs = pk.r1cs
+        n, log_n, x_size = self.n, self.log_n, self.x_size
+        d_max = self.d_max
+        assert len(instance) == r1cs.num_instance and instance[0] == 1
+
+        t = Transcript()
+        pk.vk.absorb_into(t)
+        t.absorb_fr_list(b"instance", instance)
+
+        z_i32 = jnp.concatenate(
+            [
+                jnp.asarray(np.asarray(instance, np.int32)),
+                jnp.asarray(np.asarray(witness_bits, np.int32)),
+            ]
+        )
+
+        # ---- round 1 -----------------------------------------------------
+        za_list = []
+        for (ri, ci, vi) in self.coo[:2]:
+            prod = vi * z_i32[ci]
+            vals = jax.ops.segment_sum(prod, ri, num_segments=n)
+            za_list.append(_small_to_mont(vals))
+        za_vals, zb_vals = za_list
+        za_coeffs = P.intt(log_n, za_vals)
+        zb_coeffs = P.intt(log_n, zb_vals)
+
+        z_slots = jnp.zeros(n, jnp.int32).at[self.var_to_slot].set(z_i32)
+        z_slots_mont = _small_to_mont(z_slots)
+        xd = domain(pk.log_x)
+        x_poly_ints = xd.intt(list(instance) + [0] * (x_size - len(instance)))
+        x_poly = P.dpoly(x_poly_ints)
+        x_on_h = P.ntt_to(log_n, x_poly)
+        w_full = P.intt(log_n, F.sub(z_slots_mont, x_on_h))
+        w_hat, _w_rem = P.div_vanishing(w_full, x_size)
+
+        if zk:
+            r_w = [rng.randrange(R_MOD) for _ in range(2)]
+            r_a = [rng.randrange(R_MOD) for _ in range(2)]
+            r_b = [rng.randrange(R_MOD) for _ in range(2)]
+            ratio_pos, ratio_val = [], []
+            for j in range(n // x_size):
+                ratio_pos += [j * x_size, j * x_size + 1]
+                ratio_val += [r_w[0], r_w[1]]
+            w_hat = P.add(w_hat, _sparse_ints(ratio_pos, ratio_val,
+                                              n - x_size + 2))
+            vh_mult = lambda rr: _sparse_ints(
+                [0, 1, n, n + 1], [-rr[0], -rr[1], rr[0], rr[1]], n + 2
+            )
+            za_coeffs = P.add(za_coeffs, vh_mult(r_a))
+            zb_coeffs = P.add(zb_coeffs, vh_mult(r_b))
+            s_coeffs = _rand_mont(rng, 2 * n + 1)
+            s0 = F.neg(F.add(s_coeffs[n], s_coeffs[2 * n]))
+            s_coeffs = s_coeffs.at[0].set(s0)
+        else:
+            s_coeffs = jnp.zeros((1, L), jnp.uint32)
+
+        hb = zk
+        comm_w, rand_w = self._commit(w_hat, hiding=hb, rng=rng)
+        comm_za, rand_za = self._commit(za_coeffs, hiding=hb, rng=rng)
+        comm_zb, rand_zb = self._commit(zb_coeffs, hiding=hb, rng=rng)
+        comm_s, rand_s = self._commit(s_coeffs, hiding=hb, rng=rng)
+        for lbl, c in ((b"w", comm_w), (b"za", comm_za), (b"zb", comm_zb),
+                       (b"s", comm_s)):
+            t.absorb_g1(lbl, c.point)
+        alpha = t.challenge_fr(b"alpha")
+        eta_a = t.challenge_fr(b"eta_a")
+        eta_b = t.challenge_fr(b"eta_b")
+        eta_c = t.challenge_fr(b"eta_c")
+
+        # ---- round 2 -----------------------------------------------------
+        h = domain(log_n)
+        v_h_alpha = h.vanishing_eval(alpha)
+        alpha_s = P.scalar(alpha)
+        contribs, slots = [], []
+        for eta, md in zip((eta_a, eta_b, eta_c), self.mat):
+            denom_inv = F.batch_inv(F.sub(alpha_s[None, :], md["row_evals"]))
+            c = F.mul(
+                F.mul(md["val_raw"], denom_inv),
+                P.scalar(eta * v_h_alpha % R_MOD)[None, :],
+            )
+            contribs.append(c)
+            slots.append(md["col_slots"])
+        t_vals = P.segment_sum_mod(
+            jnp.concatenate(contribs), jnp.concatenate(slots), n
+        )
+        t_coeffs = P.intt(log_n, t_vals)
+
+        w_vx = P.sub(
+            jnp.concatenate([jnp.zeros((x_size, L), jnp.uint32), w_hat]),
+            w_hat,
+        )
+        z_coeffs = P.add(w_vx, x_poly)
+
+        log_n4 = log_n + 2
+        s4 = P.ntt_to(log_n4, s_coeffs)
+        za4 = P.ntt_to(log_n4, za_coeffs)
+        zb4 = P.ntt_to(log_n4, zb_coeffs)
+        t4 = P.ntt_to(log_n4, t_coeffs)
+        z4 = P.ntt_to(log_n4, z_coeffs)
+        denom4 = F.batch_inv(F.sub(alpha_s[None, :], self.h4_pows))
+        r4 = F.mul(F.sub(P.scalar(v_h_alpha)[None, :], self.vh_on_h4), denom4)
+        ea, eb, ec = (P.scalar(v)[None, :] for v in (eta_a, eta_b, eta_c))
+        p4 = F.add(
+            F.add(F.mul(ea, za4), F.mul(eb, zb4)),
+            F.mul(ec, F.mul(za4, zb4)),
+        )
+        q1_4 = F.sub(F.add(s4, F.mul(r4, p4)), F.mul(t4, z4))
+        q1 = P.intt(log_n4, q1_4)
+        h1_coeffs, rem = P.div_vanishing(q1, n)
+        g1_coeffs = rem[1:]
+        g1_shift = d_max - (n - 2)
+
+        comm_t, _ = self._commit(t_coeffs)
+        comm_g1, rand_g1 = self._commit(g1_coeffs, hiding=hb, rng=rng)
+        comm_g1s, rand_g1s = self._commit(g1_coeffs, offset=g1_shift,
+                                          hiding=hb, rng=rng)
+        comm_h1, rand_h1 = self._commit(h1_coeffs, hiding=hb, rng=rng)
+        for lbl, c in ((b"t", comm_t), (b"g1", comm_g1), (b"g1s", comm_g1s),
+                       (b"h1", comm_h1)):
+            t.absorb_g1(lbl, c.point)
+        beta1 = t.challenge_fr(b"beta1")
+
+        # ---- round 3 -----------------------------------------------------
+        v_h_beta1 = h.vanishing_eval(beta1)
+        scale_int = v_h_alpha * v_h_beta1 % R_MOD
+        beta1_s = P.scalar(beta1)
+        sigmas: List[int] = []
+        g2_list, h2_list, g2_shifts = [], [], []
+        comm_g2, comm_g2s, comm_h2 = [], [], []
+        for md in self.mat:
+            k, log_k = md["k"], md["log_k"]
+            b_vals = F.mul(
+                F.sub(alpha_s[None, :], md["row_evals"]),
+                F.sub(beta1_s[None, :], md["col_evals"]),
+            )
+            f_vals = F.mul(
+                F.mul(md["val_norm"], P.scalar(scale_int)[None, :]),
+                F.batch_inv(b_vals),
+            )
+            sigma = from_mont(F.ctx, np.asarray(P.tree_sum(f_vals))[None, :])[0]
+            f_coeffs = P.intt(log_k, f_vals)
+            g2 = f_coeffs[1:]
+            a_coeffs = P.scale(md["val_coeffs"], P.scalar(scale_int))
+            b_coeffs = P.mul_polys(
+                P.sub(P.pad_to(P.dpoly([alpha]), k), md["row_coeffs"]),
+                P.sub(P.pad_to(P.dpoly([beta1]), k), md["col_coeffs"]),
+            )
+            bf = P.mul_polys(b_coeffs, f_coeffs)
+            h2_full, _rem2 = P.div_vanishing(P.sub(a_coeffs, bf), k)
+            h2 = h2_full[: 2 * k - 2]
+            g2_shift = d_max - (k - 2)
+            g2_shifts.append(g2_shift)
+            cg2, _ = self._commit(g2)
+            cg2s, _ = self._commit(g2, offset=g2_shift)
+            ch2, _ = self._commit(h2)
+            sigmas.append(sigma)
+            g2_list.append(g2)
+            h2_list.append(h2)
+            comm_g2.append(cg2)
+            comm_g2s.append(cg2s)
+            comm_h2.append(ch2)
+            t.absorb_fr(b"sigma", sigma)
+            t.absorb_g1(b"g2", cg2.point)
+            t.absorb_g1(b"g2s", cg2s.point)
+            t.absorb_g1(b"h2", ch2.point)
+        beta2 = t.challenge_fr(b"beta2")
+
+        # ---- evaluations -------------------------------------------------
+        def ev(p: jnp.ndarray, z: int) -> int:
+            return from_mont(
+                F.ctx, np.asarray(P.eval_at(p, P.scalar(z)))[None, :]
+            )[0]
+
+        evals_beta1 = [
+            ev(w_hat, beta1), ev(za_coeffs, beta1), ev(zb_coeffs, beta1),
+            ev(s_coeffs, beta1), ev(t_coeffs, beta1), ev(g1_coeffs, beta1),
+            ev(h1_coeffs, beta1),
+        ]
+        evals_beta2 = []
+        for md, g2, h2 in zip(self.mat, g2_list, h2_list):
+            evals_beta2.append([
+                ev(md["row_coeffs"], beta2), ev(md["col_coeffs"], beta2),
+                ev(md["val_coeffs"], beta2), ev(g2, beta2), ev(h2, beta2),
+            ])
+        t.absorb_fr_list(b"evals_beta1", evals_beta1)
+        for e in evals_beta2:
+            t.absorb_fr_list(b"evals_beta2", e)
+        xi1 = t.challenge_fr(b"xi1")
+        xi2 = t.challenge_fr(b"xi2")
+
+        open_beta1 = self._batch_open(
+            [
+                (w_hat, 0, rand_w), (za_coeffs, 0, rand_za),
+                (zb_coeffs, 0, rand_zb), (s_coeffs, 0, rand_s),
+                (t_coeffs, 0, None), (g1_coeffs, 0, rand_g1),
+                (g1_coeffs, g1_shift, rand_g1s), (h1_coeffs, 0, rand_h1),
+            ],
+            beta1, xi1,
+        )
+        beta2_polys = []
+        for md, g2, h2, shift in zip(self.mat, g2_list, h2_list, g2_shifts):
+            beta2_polys += [
+                (md["row_coeffs"], 0, None), (md["col_coeffs"], 0, None),
+                (md["val_coeffs"], 0, None), (g2, 0, None),
+                (g2, shift, None), (h2, 0, None),
+            ]
+        open_beta2 = self._batch_open(beta2_polys, beta2, xi2)
+
+        return MarlinProof(
+            comm_w=comm_w, comm_za=comm_za, comm_zb=comm_zb, comm_s=comm_s,
+            comm_t=comm_t, comm_g1=comm_g1, comm_g1_shift=comm_g1s,
+            comm_h1=comm_h1, comm_g2=comm_g2, comm_g2_shift=comm_g2s,
+            comm_h2=comm_h2, sigmas=sigmas, evals_beta1=evals_beta1,
+            evals_beta2=evals_beta2, open_beta1=open_beta1,
+            open_beta2=open_beta2,
+        )
+
+    # -- batched opening on device ----------------------------------------
+
+    def _batch_open(self, polys, z: int, xi: int) -> kzg.OpeningProof:
+        max_len = max(off + p.shape[0] for p, off, _ in polys)
+        comb = jnp.zeros((max_len, L), jnp.uint32)
+        comb_rand = [0] * (kzg.HIDING_POWERS + 1)
+        xi_pow = 1
+        any_rand = False
+        for coeffs, off, rand_poly in polys:
+            scaled = P.scale(coeffs, P.scalar(xi_pow))
+            piece = jnp.zeros((max_len, L), jnp.uint32)
+            piece = jax.lax.dynamic_update_slice(piece, scaled, (off, 0))
+            comb = F.add(comb, piece)
+            if rand_poly is not None:
+                any_rand = True
+                for i, c in enumerate(rand_poly):
+                    comb_rand[i] = (comb_rand[i] + xi_pow * c) % R_MOD
+            xi_pow = xi_pow * xi % R_MOD
+        # quotient (F(X)-F(z))/(X-z): w_i = (F(z) - P_i(z)) z^{-(i+1)}
+        zpow = P.powers(P.scalar(z), max_len)
+        terms = F.mul(comb, zpow)
+        prefix = jax.lax.associative_scan(F.add, terms, axis=0)
+        f_z = prefix[-1]
+        zinv = P.scalar(inv_mod(z, R_MOD))
+        zinv_pows = F.mul(P.powers(zinv, max_len), zinv[None, :])
+        w_coeffs = F.mul(F.sub(f_z[None, :], prefix), zinv_pows)
+        # top coefficient w_{max_len-1} is 0 by construction; drop it
+        w_coeffs = w_coeffs[: max_len - 1]
+        digits = _to_std(w_coeffs)
+        w_point = msm_device(self.srs_dev.slice(0, digits.shape[0]), digits)
+        rand_eval = 0
+        if any_rand:
+            wr, rand_eval = poly_div_linear(comb_rand, z)
+            wr_pt = msm_host.msm(self.pk.srs.gamma_powers_g1[: len(wr)], wr)
+            w_point = w_point.add(wr_pt)
+        return kzg.OpeningProof(w=w_point, rand_eval=rand_eval)

@@ -1,0 +1,247 @@
+"""Pippenger multi-scalar multiplication as a JAX program (TPU MSM kernel).
+
+TPU-native re-creation of ark-ec's VariableBaseMSM at the reference's KZG
+commit/open call sites (SURVEY.md §2b, §3.2 "KZG commit (MSM); HOT").
+
+SIMD-friendly Pippenger (SURVEY.md §7 "bucket scatter/accumulate without
+data-dependent control flow — sort-based or segment-sum formulations"):
+
+  window = 16 bits == one scalar limb, so the digit decomposition IS the
+  standard-form limb tensor (no host bigint work on the hot path).
+  Per window:
+    1. argsort digits; gather points into digit order.
+    2. segmented inclusive scan (associative, branchless jac_add) over the
+       sorted points with segment flags at digit boundaries.
+    3. scatter segment tails into the bucket table (digit 0 -> dump slot).
+    4. suffix-scan buckets and tree-reduce:  sum_d d * B_d = sum_j S_j.
+  Window results are combined host-side (16 tiny double/add chains).
+
+Multi-chip sharding (points split across devices, psum of window sums) lives
+in parallel/sharded_msm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve_host import AffinePoint
+from .curve_jax import JacPoint, affine_to_device, device_to_affine, jac_add, jac_infinity
+from .field_jax import fq_ops, fr_ops
+from .field_params import FR_LIMBS, R_MOD
+from .limbs import ints_to_limbs
+
+WINDOW_BITS = 16
+NUM_WINDOWS = FR_LIMBS  # 16 windows of 16 bits cover the 253-bit scalar
+
+
+@functools.lru_cache(maxsize=None)
+def _window_sums_exec():
+    """Platform-adaptive execution of the window-sum program.
+
+    XLA:TPU compiles the fully-traced MSM in tens of seconds (disk-cached)
+    and traced execution avoids the axon tunnel's per-dispatch latency;
+    XLA:CPU compile time explodes on large point-arithmetic graphs, so there
+    the scan levels run eagerly over the individually-jitted field kernels.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return jax.jit(_window_sums, static_argnames=("window_bits",))
+    return _window_sums
+
+
+def _segmented_add(flags: jnp.ndarray, pts: JacPoint) -> JacPoint:
+    """Inclusive segmented scan: within each flagged segment, running sums."""
+
+    def combine(a, b):
+        fa, pa = a
+        fb, pb = b
+        summed = jac_add(pa, pb)
+        x = jnp.where(fb[..., None] != 0, pb.x, summed.x).astype(jnp.uint32)
+        y = jnp.where(fb[..., None] != 0, pb.y, summed.y).astype(jnp.uint32)
+        z = jnp.where(fb[..., None] != 0, pb.z, summed.z).astype(jnp.uint32)
+        return (fa | fb, JacPoint(x, y, z))
+
+    _, out = jax.lax.associative_scan(combine, (flags, pts), axis=0)
+    return out
+
+
+def _tree_reduce_sum(pts: JacPoint) -> JacPoint:
+    """Sum all points along axis 0 by repeated halving (length power of 2)."""
+    n = pts.x.shape[0]
+    while n > 1:
+        half = n // 2
+        a = JacPoint(pts.x[:half], pts.y[:half], pts.z[:half])
+        b = JacPoint(pts.x[half : 2 * half], pts.y[half : 2 * half],
+                     pts.z[half : 2 * half])
+        pts = jac_add(a, b)
+        n = half
+    return JacPoint(pts.x[0], pts.y[0], pts.z[0])
+
+
+def _window_sums(points: JacPoint, digits16: jnp.ndarray,
+                 window_bits: int) -> JacPoint:
+    """Per window, sum_d d * B_d. Returns a [num_windows]-batched JacPoint.
+
+    digits16 is the [N, 16] 16-bit limb decomposition; windows of
+    window_bits in {4, 8, 16} are re-derived from it. The per-window body is
+    traced ONCE via lax.map (unrolling all windows explodes compile time).
+    """
+    assert 16 % window_bits == 0
+    num_buckets = 1 << window_bits
+    per_limb = 16 // window_bits
+    n = digits16.shape[0]
+    use_map = jax.default_backend() == "tpu"
+    # expand to [N, num_windows] little-endian window digits
+    parts = [
+        (digits16 >> jnp.uint32(window_bits * j)) & jnp.uint32(num_buckets - 1)
+        for j in range(per_limb)
+    ]
+    digits = jnp.stack(parts, axis=-1).reshape(n, NUM_WINDOWS * per_limb)
+
+    def one_window(d):
+        d = d.astype(jnp.int32)
+        order = jnp.argsort(d)
+        ds = d[order]
+        pw = JacPoint(points.x[order], points.y[order], points.z[order])
+        first = jnp.ones((1,), jnp.uint32)
+        flags = jnp.concatenate(
+            [first, (ds[1:] != ds[:-1]).astype(jnp.uint32)]
+        )
+        scanned = _segmented_add(flags, pw)
+        is_tail = jnp.concatenate([(ds[1:] != ds[:-1]), jnp.ones((1,), bool)])
+        dump = num_buckets
+        target = jnp.where(is_tail & (ds > 0), ds, dump)
+        bx = jnp.zeros((num_buckets + 1, points.x.shape[-1]), jnp.uint32)
+        by = jnp.zeros_like(bx)
+        bz = jnp.zeros_like(bx)
+        bx = bx.at[target].set(scanned.x)
+        by = by.at[target].set(scanned.y)
+        bz = bz.at[target].set(scanned.z)
+        buckets = JacPoint(bx[:num_buckets], by[:num_buckets], bz[:num_buckets])
+        # suffix sums S_j = sum_{d >= j} B_d for j >= 1; then sum_j S_j
+        suffix = jax.lax.associative_scan(
+            jac_add, buckets, axis=0, reverse=True
+        )
+        tail = JacPoint(suffix.x[1:], suffix.y[1:], suffix.z[1:])
+        pad = num_buckets - 1
+        size = 1 << (pad - 1).bit_length()
+        inf = jac_infinity((size - pad,))
+        tail = JacPoint(
+            jnp.concatenate([tail.x, inf.x]),
+            jnp.concatenate([tail.y, inf.y]),
+            jnp.concatenate([tail.z, inf.z]),
+        )
+        return _tree_reduce_sum(tail)
+
+    if use_map:
+        # traced mode (TPU): one compiled body, sequential windows on device
+        return jax.lax.map(one_window, digits.T)
+    # eager mode (CPU): python loop over windows; inner scans are python
+    # recursions over the individually-jitted field kernels, so nothing
+    # large ever reaches the XLA:CPU compiler
+    outs = [one_window(digits[:, w]) for w in range(digits.shape[1])]
+    return JacPoint(
+        jnp.stack([o.x for o in outs]),
+        jnp.stack([o.y for o in outs]),
+        jnp.stack([o.z for o in outs]),
+    )
+
+
+def scalars_to_digit_limbs(scalars: Sequence[int]) -> np.ndarray:
+    """Standard-form scalars -> [N, 16] uint32 16-bit digits (host path;
+    on-device path converts Montgomery coefficients with one REDC mul)."""
+    return ints_to_limbs([s % R_MOD for s in scalars], FR_LIMBS)
+
+
+def pick_window_bits(n: int) -> int:
+    """Pippenger window heuristic constrained to divisors of the limb width:
+    the bucket phase costs ~2*2^c adds/window, the data phase ~2n."""
+    if n >= (1 << 14):
+        return 16
+    if n >= (1 << 6):
+        return 8
+    return 4
+
+
+def msm_device(points: JacPoint, digits16: jnp.ndarray,
+               window_bits: int | None = None) -> AffinePoint:
+    """MSM over device-resident points / 16-bit digit limbs; returns a host
+    affine point."""
+    if window_bits is None:
+        window_bits = pick_window_bits(digits16.shape[0])
+    wsums = _window_sums_exec()(points, digits16, window_bits)
+    # combine windows host-side: result = sum_w 2^(c w) S_w
+    window_pts = device_to_affine(wsums)
+    from .curve_host import g1_infinity
+
+    acc = g1_infinity()
+    for p in reversed(window_pts):
+        for _ in range(window_bits):
+            acc = acc.double()
+        acc = acc.add(p)
+    return acc
+
+
+def msm(points: Sequence[AffinePoint], scalars: Sequence[int]) -> AffinePoint:
+    """Drop-in host-API MSM running the bucket phase on device.
+
+    Signature-compatible with ops/msm_host.msm so kzg.commit can swap
+    backends (msm_fn=msm_jax.msm).
+    """
+    from .curve_host import g1_infinity
+
+    if len(points) == 0:
+        return g1_infinity()
+    pts = affine_to_device(points)
+    digits = jnp.asarray(scalars_to_digit_limbs(scalars))
+    return msm_device(pts, digits)
+
+
+class DevicePoints:
+    """SRS powers cached on device for repeated commits (prover hot path)."""
+
+    def __init__(self, points):
+        packed = getattr(points, "packed", None)
+        if packed is not None:
+            self.n = packed.shape[0]
+            self.jac = self._from_packed(packed)
+        else:
+            self.n = len(points)
+            self.jac = affine_to_device(points)
+
+    @staticmethod
+    def _from_packed(packed: np.ndarray) -> JacPoint:
+        """[N, 2, 24] standard-form affine limbs -> device Jacobian tensors
+        (no per-point host bigint work — the SRS checkpoint fast path)."""
+        from .field_jax import fq_ops
+        from .limbs import ints_to_limbs
+
+        fq = fq_ops()
+        raw = jnp.asarray(packed.astype(np.uint32))
+        r2 = jnp.asarray(ints_to_limbs([fq.ctx.R2_mod], fq.L)[0])
+        x = fq.mul(raw[:, 0, :], r2[None, :])
+        y = fq.mul(raw[:, 1, :], r2[None, :])
+        finite = jnp.logical_or(
+            jnp.any(raw[:, 0, :] != 0, axis=-1),
+            jnp.any(raw[:, 1, :] != 0, axis=-1),
+        )
+        one = jnp.asarray(ints_to_limbs([fq.ctx.R_mod], fq.L)[0])
+        z = jnp.where(finite[:, None], one[None, :], 0).astype(jnp.uint32)
+        return JacPoint(x, y, z)
+
+    def slice(self, start: int, length: int) -> JacPoint:
+        return JacPoint(
+            self.jac.x[start : start + length],
+            self.jac.y[start : start + length],
+            self.jac.z[start : start + length],
+        )
+
+    def msm(self, scalars: Sequence[int], offset: int = 0) -> AffinePoint:
+        digits = jnp.asarray(scalars_to_digit_limbs(scalars))
+        return msm_device(self.slice(offset, digits.shape[0]), digits)

@@ -65,18 +65,76 @@ def miller_loop(p_g1: AffinePoint, q_g2: AffinePoint) -> Fq12:
     return f
 
 
-_FINAL_EXP_HARD = (Q_MOD**4 - Q_MOD**2 + 1) // R_MOD
+import functools
+
+from .field_host import XI, Fq2, Fq6
+
+
+@functools.lru_cache(maxsize=None)
+def _frob_coeffs():
+    """XI^(i (q-1)/6) for i = 0..5 — Frobenius twist constants on the
+    {1, v, v^2, w, wv, wv^2} basis (q = 1 mod 6)."""
+    e = (Q_MOD - 1) // 6
+    return tuple(XI.pow(e * i) for i in range(6))
+
+
+def frobenius(f: Fq12) -> Fq12:
+    """x -> x^q on Fq12: conjugate every Fq2 coefficient, scale basis
+    element i by XI^(i(q-1)/6) with i = m + 2b for w^m v^b."""
+    g = _frob_coeffs()
+    c0, c1 = f.c0, f.c1
+    return Fq12(
+        Fq6(
+            c0.c0.conjugate(),
+            c0.c1.conjugate() * g[2],
+            c0.c2.conjugate() * g[4],
+        ),
+        Fq6(
+            c1.c0.conjugate() * g[1],
+            c1.c1.conjugate() * g[3],
+            c1.c2.conjugate() * g[5],
+        ),
+    )
+
+
+def _pow_u(f: Fq12) -> Fq12:
+    """f^U with cyclotomic-subgroup inverse-free square-and-multiply."""
+    result = Fq12.one()
+    base = f
+    e = U
+    while e:
+        if e & 1:
+            result = result * base
+        base = base.square()
+        e >>= 1
+    return result
 
 
 def final_exponentiation(f: Fq12) -> Fq12:
-    """f ^ ((q^12-1)/r) = [(f^(q^6-1))^(q^2+1)]^((q^4-q^2+1)/r)."""
+    """Compute f^(3 (q^12-1)/r) — a fixed bilinear non-degenerate pairing
+    (the cube of the ate pairing; 3 does not divide r so nothing collapses).
+
+    Uses the BLS12 decomposition (verified against the curve constants):
+        3 (q^4-q^2+1)/r = (u-1)^2 (u+q) (u^2+q^2-1) + 3
+    after the easy part f <- (f^(q^6-1))^(q^2+1), inside which inversion is
+    conjugation. ~500 Fq12 mults instead of a 1255-bit generic pow.
+    """
     if f.is_zero():
         raise ZeroDivisionError("final exponentiation of zero")
-    # easy part: f^(q^6 - 1) via conjugation (Frobenius^6), then ^(q^2+1)
+    # easy part
     f1 = f.conjugate() * f.inv()
-    f2 = f1.pow(Q_MOD * Q_MOD) * f1
-    # hard part
-    return f2.pow(_FINAL_EXP_HARD)
+    f2 = frobenius(frobenius(f1)) * f1      # ^(q^2 + 1); now cyclotomic
+    # hard part: m = f2^((u-1)^2) via two u-1 pows
+    fu = _pow_u(f2) * f2.conjugate()        # f2^(u-1)
+    fu = _pow_u(fu) * fu.conjugate()        # f2^((u-1)^2)
+    # ^(u+q)
+    fq = _pow_u(fu) * frobenius(fu)
+    # ^(u^2+q^2-1)
+    fuu = _pow_u(_pow_u(fq))
+    out = fuu * frobenius(frobenius(fq)) * fq.conjugate()
+    # * f2^3
+    f2sq = f2.square()
+    return out * f2sq * f2
 
 
 def pairing(p_g1: AffinePoint, q_g2: AffinePoint) -> Fq12:

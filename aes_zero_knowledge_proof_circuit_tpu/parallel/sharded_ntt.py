@@ -1,0 +1,92 @@
+"""Multi-chip NTT: four-step (Bailey) decomposition over the device mesh.
+
+SURVEY.md §2b "NTT parallelism": N = N1*N2 is laid out as a [N2, N1] matrix
+with the N1 axis sharded; the two batched local NTT passes run per-device
+and the single global transpose between them is expressed as a sharding
+constraint — XLA lowers it to an all-to-all over ICI (the task-north-star
+"annotate shardings, let XLA insert collectives" recipe).
+
+    X[k1 N2 + k2] = NTT_N1((twiddle ⊙ NTT_N2(A))ᵀ)      (derivation in-line)
+
+Bit-exact against the single-device engine (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import poly_jax as PJ
+from ..ops.field_jax import fr_ops
+from ..ops.field_params import R_MOD, inv_mod, root_of_unity
+from ..ops.limbs import to_mont
+from ..ops.ntt_jax import ntt_engine
+
+F = fr_ops()
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> np.ndarray:
+    """[N2, N1] limbs: w_N^(n1*k2) (row k2, col n1), Montgomery form."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    w = root_of_unity(log_n1 + log_n2)
+    if inverse:
+        w = inv_mod(w, R_MOD)
+    rows = []
+    for k2 in range(n2):
+        base = pow(w, k2, R_MOD)
+        acc = 1
+        row = []
+        for n1i in range(n1):
+            row.append(acc)
+            acc = acc * base % R_MOD
+        rows.append(row)
+    flat = [v for row in rows for v in row]
+    return to_mont(F.ctx, flat).reshape(n2, n1, F.L)
+
+
+def _batched_ntt(log_n: int, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """NTT along axis 0 of [n, B, L]."""
+    eng = ntt_engine(log_n)
+    fn = eng.intt if inverse else eng.ntt
+    return jax.vmap(fn, in_axes=1, out_axes=1)(x)
+
+
+def ntt_sharded(
+    mesh: Mesh,
+    coeffs: jnp.ndarray,
+    log_n1: int,
+    log_n2: int,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """Distributed (i)NTT of a length 2^(log_n1+log_n2) coefficient tensor.
+
+    Input/output are flat [n, L] device arrays (natural order). The n1 axis
+    is sharded across the mesh; the inter-pass transpose reshards k2.
+    """
+    axis = mesh.axis_names[0]
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n = n1 * n2
+    assert coeffs.shape[0] == n
+    tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, inverse))
+
+    col_sharding = NamedSharding(mesh, P(None, axis, None))
+
+    def run(a_flat):
+        # A[n2][n1]: n = n2*N1 + n1... input index n = row*n1 + col
+        a = a_flat.reshape(n2, n1, F.L)
+        a = jax.lax.with_sharding_constraint(a, col_sharding)
+        b = _batched_ntt(log_n2, a, inverse)           # over n2, local
+        c = F.mul(b, tw)                                # twiddle, local
+        ct = jnp.transpose(c, (1, 0, 2))                # [n1, n2, L]
+        ct = jax.lax.with_sharding_constraint(ct, col_sharding)  # all-to-all
+        d = _batched_ntt(log_n1, ct, inverse)           # over n1, local
+        # d[k1][k2] = X[k1*N2 + k2] -> row-major flatten IS the output.
+        # (inverse: both passes scale by 1/n1 and 1/n2 -> total 1/n, correct)
+        return d.reshape(n, F.L)
+
+    return jax.jit(run)(coeffs)

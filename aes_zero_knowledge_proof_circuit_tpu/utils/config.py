@@ -1,0 +1,59 @@
+"""Framework configuration (typed; SURVEY.md §5 "config/flag system").
+
+The reference has no runtime config (message length is the only parameter,
+src/lib.rs:138); the TPU build adds a small typed config: platform pinning,
+compilation cache, artifact cache directory, mesh shape.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+_DEF_CACHE = os.environ.get(
+    "ZKAES_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "zkaes-tpu")
+)
+
+
+@dataclass
+class Config:
+    # directory for compiled circuit templates, SRS checkpoints, jax cache
+    cache_dir: str = _DEF_CACHE
+    # default hiding (the reference proves in zero-knowledge)
+    zk: bool = True
+    # mesh axis name used by parallel/ modules
+    mesh_axis: str = "shard"
+
+    @property
+    def template_dir(self) -> Path:
+        p = Path(self.cache_dir) / "templates"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def srs_dir(self) -> Path:
+        p = Path(self.cache_dir) / "srs"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+
+CONFIG = Config()
+
+
+_jax_cache_initialized = False
+
+
+def init_jax_compilation_cache() -> None:
+    """Persist XLA compilations across processes — limb-arithmetic programs
+    are large and re-used identically every run."""
+    global _jax_cache_initialized
+    if _jax_cache_initialized:
+        return
+    import jax
+
+    cache = Path(CONFIG.cache_dir) / "jax_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax_cache_initialized = True

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: AES-128 16-byte block proofs/sec (proving only, setup
+excluded — the reference's criterion measurement boundary,
+benches/benchmark_encrypt.rs:39-48). Falls back to an NTT+MSM composite
+microbenchmark while the full-proof path or its SRS checkpoint is not
+available on this machine.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against this project's own recorded first-round value when present
+(BENCH_BASELINE.json), else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _bench_ntt_msm():
+    """Composite microbench: NTT 2^20 + Pippenger MSM 2^16 on one chip."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from aes_zero_knowledge_proof_circuit_tpu.ops import limbs
+    from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+    from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
+    from aes_zero_knowledge_proof_circuit_tpu.ops.ntt_jax import ntt_engine
+
+    rng = np.random.default_rng(0)
+    ctx = fr_ops().ctx
+    log_n = 20
+    eng = ntt_engine(log_n)
+    raw = rng.integers(0, 1 << 16, size=(eng.n, 16), dtype=np.uint32)
+    r2 = jnp.asarray(limbs.ints_to_limbs([ctx.R2_mod], 16)[0])
+    x = fr_ops().mul(jnp.asarray(raw), r2)  # reduce into the field
+    # warm-up / compile
+    eng.ntt(x).block_until_ready()
+    t0 = time.time()
+    iters = 5
+    for _ in range(iters):
+        x = eng.ntt(x)
+    x.block_until_ready()
+    ntt_ms = (time.time() - t0) / iters * 1000
+    return {
+        "metric": "ntt_2pow20_wallclock",
+        "value": round(ntt_ms, 2),
+        "unit": "ms",
+    }
+
+
+def _bench_block_proof():
+    """Full prove path: synthesize once (cached), then time encrypt()."""
+    from aes_zero_knowledge_proof_circuit_tpu import api
+
+    pk, vk = api.synthesize_keys(16, backend="jax")
+    msg = bytes(range(16))
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    # warm-up (compiles everything)
+    proof = api.encrypt(msg, key, pk)
+    ct = api.compute_ciphertext(msg, key)
+    assert api.verify_encryption(vk, proof, ct), "bench proof failed to verify"
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        api.encrypt(msg, key, pk)
+    dt = (time.time() - t0) / iters
+    return {
+        "metric": "aes128_block_proofs_per_sec",
+        "value": round(1.0 / dt, 4),
+        "unit": "proofs/s",
+    }
+
+
+def main() -> None:
+    mode = os.environ.get("ZKAES_BENCH", "auto")
+    result = None
+    if mode in ("auto", "full"):
+        try:
+            result = _bench_block_proof()
+        except Exception as e:  # fall back to microbench
+            if mode == "full":
+                raise
+            print(f"# full-proof bench unavailable ({e!r}); microbench",
+                  file=sys.stderr)
+    if result is None:
+        result = _bench_ntt_msm()
+
+    baseline_path = os.path.join(os.path.dirname(__file__),
+                                 "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            base = json.load(open(baseline_path))
+            if base.get("metric") == result["metric"] and base.get("value"):
+                if result["unit"].endswith("/s") or "per_sec" in result["metric"]:
+                    vs = result["value"] / base["value"]
+                else:
+                    vs = base["value"] / result["value"]  # lower is better
+        except Exception:
+            pass
+    result["vs_baseline"] = round(vs, 4)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Multi-chip sharded kernels on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from aes_zero_knowledge_proof_circuit_tpu.ops import limbs, poly_host
+from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
+from aes_zero_knowledge_proof_circuit_tpu.parallel.mesh import make_mesh
+from aes_zero_knowledge_proof_circuit_tpu.parallel.sharded_ntt import ntt_sharded
+
+rng = random.Random(17)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_ntt_matches_host():
+    mesh = make_mesh()
+    log_n1, log_n2 = 3, 4  # 128 elements, n1 axis sharded over 8 devices
+    n = 1 << (log_n1 + log_n2)
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    ctx = fr_ops().ctx
+    dev = limbs.to_mont(ctx, coeffs)
+    got = limbs.from_mont(
+        ctx, np.asarray(ntt_sharded(mesh, dev, log_n1, log_n2))
+    )
+    want = poly_host.domain(log_n1 + log_n2).ntt(coeffs)
+    assert got == want
+
+
+def test_sharded_intt_roundtrip():
+    mesh = make_mesh()
+    log_n1, log_n2 = 3, 3
+    n = 1 << (log_n1 + log_n2)
+    coeffs = [rng.randrange(R_MOD) for _ in range(n)]
+    ctx = fr_ops().ctx
+    dev = limbs.to_mont(ctx, coeffs)
+    evals = ntt_sharded(mesh, dev, log_n1, log_n2)
+    back = limbs.from_mont(
+        ctx, np.asarray(ntt_sharded(mesh, evals, log_n1, log_n2, inverse=True))
+    )
+    assert back == coeffs
+
+
+@pytest.mark.slow
+def test_sharded_msm_matches_host():
+    from aes_zero_knowledge_proof_circuit_tpu.ops import curve_host as ch
+    from aes_zero_knowledge_proof_circuit_tpu.ops import curve_jax as cj
+    from aes_zero_knowledge_proof_circuit_tpu.ops import msm_host, msm_jax
+    from aes_zero_knowledge_proof_circuit_tpu.parallel.sharded_msm import (
+        msm_sharded,
+    )
+
+    mesh = make_mesh()
+    g = ch.g1_generator()
+    n = 16
+    pts = [g.mul_scalar(rng.randrange(1, 2**28)) for _ in range(n)]
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    want = msm_host.msm(pts, scalars)
+    import jax.numpy as jnp
+
+    got = msm_sharded(
+        mesh,
+        cj.affine_to_device(pts),
+        jnp.asarray(msm_jax.scalars_to_digit_limbs(scalars)),
+    )
+    assert got == want

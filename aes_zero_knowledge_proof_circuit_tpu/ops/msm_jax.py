@@ -40,23 +40,27 @@ NUM_WINDOWS = FR_LIMBS  # 16 windows of 16 bits cover the 253-bit scalar
 
 
 @functools.lru_cache(maxsize=None)
-def _window_sums_exec():
-    """Platform-adaptive execution of the window-sum program.
+def _add_fn():
+    """Platform-adaptive point-add unit.
 
-    XLA:TPU compiles the fully-traced MSM in tens of seconds (disk-cached)
-    and traced execution avoids the axon tunnel's per-dispatch latency;
-    XLA:CPU compile time explodes on large point-arithmetic graphs, so there
-    the scan levels run eagerly over the individually-jitted field kernels.
+    Neither XLA:CPU nor XLA:TPU compiles a fully-traced Pippenger program in
+    acceptable time (large point-arithmetic graphs), so the scan levels are
+    orchestrated eagerly in Python everywhere. The combine granularity
+    differs: on TPU one jitted jac_add (~10 s compile per shape, disk-cached;
+    single dispatch per combine keeps the axon tunnel latency amortized), on
+    CPU the raw composition of individually-jitted field kernels (jac_add
+    itself takes >80 s to compile on XLA:CPU).
     """
     import jax
 
     if jax.default_backend() == "tpu":
-        return jax.jit(_window_sums, static_argnames=("window_bits",))
-    return _window_sums
+        return jax.jit(jac_add)
+    return jac_add
 
 
-def _segmented_add(flags: jnp.ndarray, pts: JacPoint) -> JacPoint:
-    """Inclusive segmented scan: within each flagged segment, running sums."""
+@functools.lru_cache(maxsize=None)
+def _seg_combine_fn():
+    """Segmented-scan combine (flag-gated jac_add), jitted as a unit on TPU."""
 
     def combine(a, b):
         fa, pa = a
@@ -67,19 +71,32 @@ def _segmented_add(flags: jnp.ndarray, pts: JacPoint) -> JacPoint:
         z = jnp.where(fb[..., None] != 0, pb.z, summed.z).astype(jnp.uint32)
         return (fa | fb, JacPoint(x, y, z))
 
-    _, out = jax.lax.associative_scan(combine, (flags, pts), axis=0)
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        return _jax.jit(combine)
+    return combine
+
+
+def _segmented_add(flags: jnp.ndarray, pts: JacPoint) -> JacPoint:
+    """Inclusive segmented scan: within each flagged segment, running sums.
+
+    associative_scan is pure Python recursion over the combine, so this runs
+    level-wise eagerly with the platform-chosen combine granularity."""
+    _, out = jax.lax.associative_scan(_seg_combine_fn(), (flags, pts), axis=0)
     return out
 
 
 def _tree_reduce_sum(pts: JacPoint) -> JacPoint:
     """Sum all points along axis 0 by repeated halving (length power of 2)."""
+    add = _add_fn()
     n = pts.x.shape[0]
     while n > 1:
         half = n // 2
         a = JacPoint(pts.x[:half], pts.y[:half], pts.z[:half])
         b = JacPoint(pts.x[half : 2 * half], pts.y[half : 2 * half],
                      pts.z[half : 2 * half])
-        pts = jac_add(a, b)
+        pts = add(a, b)
         n = half
     return JacPoint(pts.x[0], pts.y[0], pts.z[0])
 
@@ -96,7 +113,7 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
     num_buckets = 1 << window_bits
     per_limb = 16 // window_bits
     n = digits16.shape[0]
-    use_map = jax.default_backend() == "tpu"
+    add = _add_fn()
     # expand to [N, num_windows] little-endian window digits
     parts = [
         (digits16 >> jnp.uint32(window_bits * j)) & jnp.uint32(num_buckets - 1)
@@ -125,9 +142,7 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
         bz = bz.at[target].set(scanned.z)
         buckets = JacPoint(bx[:num_buckets], by[:num_buckets], bz[:num_buckets])
         # suffix sums S_j = sum_{d >= j} B_d for j >= 1; then sum_j S_j
-        suffix = jax.lax.associative_scan(
-            jac_add, buckets, axis=0, reverse=True
-        )
+        suffix = jax.lax.associative_scan(add, buckets, axis=0, reverse=True)
         tail = JacPoint(suffix.x[1:], suffix.y[1:], suffix.z[1:])
         pad = num_buckets - 1
         size = 1 << (pad - 1).bit_length()
@@ -139,12 +154,8 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
         )
         return _tree_reduce_sum(tail)
 
-    if use_map:
-        # traced mode (TPU): one compiled body, sequential windows on device
-        return jax.lax.map(one_window, digits.T)
-    # eager mode (CPU): python loop over windows; inner scans are python
-    # recursions over the individually-jitted field kernels, so nothing
-    # large ever reaches the XLA:CPU compiler
+    # python loop over windows; inner scans are python recursions over the
+    # platform-granular combine, so nothing large reaches the XLA compiler
     outs = [one_window(digits[:, w]) for w in range(digits.shape[1])]
     return JacPoint(
         jnp.stack([o.x for o in outs]),
@@ -175,7 +186,7 @@ def msm_device(points: JacPoint, digits16: jnp.ndarray,
     affine point."""
     if window_bits is None:
         window_bits = pick_window_bits(digits16.shape[0])
-    wsums = _window_sums_exec()(points, digits16, window_bits)
+    wsums = _window_sums(points, digits16, window_bits)
     # combine windows host-side: result = sum_w 2^(c w) S_w
     window_pts = device_to_affine(wsums)
     from .curve_host import g1_infinity

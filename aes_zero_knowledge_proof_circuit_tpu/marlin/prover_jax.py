@@ -417,9 +417,11 @@ class JaxProver:
                     comb_rand[i] = (comb_rand[i] + xi_pow * c) % R_MOD
             xi_pow = xi_pow * xi % R_MOD
         # quotient (F(X)-F(z))/(X-z): w_i = (F(z) - P_i(z)) z^{-(i+1)}
+        from ..ops.scan_utils import hillis_scan
+
         zpow = P.powers(P.scalar(z), max_len)
         terms = F.mul(comb, zpow)
-        prefix = jax.lax.associative_scan(F.add, terms, axis=0)
+        prefix = hillis_scan(F.add, terms)
         f_z = prefix[-1]
         zinv = P.scalar(inv_mod(z, R_MOD))
         zinv_pows = F.mul(P.powers(zinv, max_len), zinv[None, :])

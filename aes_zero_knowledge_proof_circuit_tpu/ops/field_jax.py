@@ -60,6 +60,8 @@ class FieldOps:
         self.neg = jax.jit(self.neg)
         self.mul = jax.jit(self.mul)
         self.inv = jax.jit(self.inv)
+        # batch_inv stays eager: its Hillis-Steele levels call the jitted
+        # mul so nothing large reaches the XLA compiler
 
     # -- add / sub ---------------------------------------------------------
 
@@ -184,13 +186,15 @@ class FieldOps:
 
     def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:
         """Inverse of every element of [N, L] via the Montgomery product
-        trick in log-depth (two associative scans + ONE Fermat inversion),
-        ~6 muls/element instead of ~380 (zeros map to zero)."""
+        trick in log-depth (prefix+suffix product scans + ONE Fermat
+        inversion) instead of ~380 muls/element (zeros map to zero)."""
+        from .scan_utils import hillis_scan
+
         is_zero = jnp.all(a == 0, axis=-1)
         one = jnp.broadcast_to(self.one_mont, a.shape).astype(jnp.uint32)
         safe = jnp.where(is_zero[..., None], one, a).astype(jnp.uint32)
-        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
-        suffix = jax.lax.associative_scan(self.mul, safe, axis=0, reverse=True)
+        prefix = hillis_scan(self.mul, safe)
+        suffix = hillis_scan(self.mul, safe, reverse=True)
         total_inv = self.inv(prefix[-1])
         # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
         p_shift = jnp.concatenate([one[:1], prefix[:-1]], axis=0)

@@ -81,24 +81,21 @@ def _seg_combine_fn():
 def _segmented_add(flags: jnp.ndarray, pts: JacPoint) -> JacPoint:
     """Inclusive segmented scan: within each flagged segment, running sums.
 
-    associative_scan is pure Python recursion over the combine, so this runs
-    level-wise eagerly with the platform-chosen combine granularity."""
-    _, out = jax.lax.associative_scan(_seg_combine_fn(), (flags, pts), axis=0)
+    Constant-shape Hillis-Steele levels (ops/scan_utils.py) run eagerly with
+    the platform-chosen combine granularity: one compile shape, log2(n)
+    dispatches."""
+    from .scan_utils import hillis_scan
+
+    _, out = hillis_scan(_seg_combine_fn(), (flags, pts))
     return out
 
 
 def _tree_reduce_sum(pts: JacPoint) -> JacPoint:
-    """Sum all points along axis 0 by repeated halving (length power of 2)."""
-    add = _add_fn()
-    n = pts.x.shape[0]
-    while n > 1:
-        half = n // 2
-        a = JacPoint(pts.x[:half], pts.y[:half], pts.z[:half])
-        b = JacPoint(pts.x[half : 2 * half], pts.y[half : 2 * half],
-                     pts.z[half : 2 * half])
-        pts = add(a, b)
-        n = half
-    return JacPoint(pts.x[0], pts.y[0], pts.z[0])
+    """Sum all points along axis 0 (constant-shape suffix scan, element 0)."""
+    from .scan_utils import hillis_scan
+
+    suffix = hillis_scan(_add_fn(), pts, reverse=True)
+    return JacPoint(suffix.x[0], suffix.y[0], suffix.z[0])
 
 
 def _window_sums(points: JacPoint, digits16: jnp.ndarray,
@@ -142,7 +139,9 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
         bz = bz.at[target].set(scanned.z)
         buckets = JacPoint(bx[:num_buckets], by[:num_buckets], bz[:num_buckets])
         # suffix sums S_j = sum_{d >= j} B_d for j >= 1; then sum_j S_j
-        suffix = jax.lax.associative_scan(add, buckets, axis=0, reverse=True)
+        from .scan_utils import hillis_scan
+
+        suffix = hillis_scan(add, buckets, reverse=True)
         tail = JacPoint(suffix.x[1:], suffix.y[1:], suffix.z[1:])
         pad = num_buckets - 1
         size = 1 << (pad - 1).bit_length()

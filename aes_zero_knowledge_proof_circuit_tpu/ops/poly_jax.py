@@ -72,23 +72,20 @@ def mul_polys(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def tree_sum(vals: jnp.ndarray) -> jnp.ndarray:
-    """Sum along axis 0 (mod r) by repeated halving; returns [L]."""
-    n = vals.shape[0]
-    size = 1 << max(0, (n - 1).bit_length())
-    vals = pad_to(vals, size)
-    while size > 1:
-        half = size // 2
-        vals = F.add(vals[:half], vals[half : 2 * half])
-        size = half
-    return vals[0]
+    """Sum along axis 0 (mod r): constant-shape suffix scan, element 0."""
+    from .scan_utils import hillis_scan
+
+    return hillis_scan(F.add, vals, reverse=True)[0]
 
 
 def powers(z: jnp.ndarray, n: int) -> jnp.ndarray:
     """[n, L]: 1, z, z^2, ..., z^(n-1) via log-depth scan."""
+    from .scan_utils import hillis_scan
+
     base = jnp.broadcast_to(z, (n, L)).astype(jnp.uint32)
     first = jnp.broadcast_to(F.one_mont, (1, L)).astype(jnp.uint32)
     seq = jnp.concatenate([first, base[: n - 1]], axis=0)
-    return jax.lax.associative_scan(F.mul, seq, axis=0)
+    return hillis_scan(F.mul, seq)
 
 
 def eval_at(p: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -105,9 +102,11 @@ def div_vanishing(p: jnp.ndarray, m: int):
     n = p.shape[0]
     if n <= m:
         return jnp.zeros((1, L), jnp.uint32), pad_to(p, m)
+    from .scan_utils import hillis_scan
+
     blocks = -(-n // m)
     p_pad = pad_to(p, blocks * m).reshape(blocks, m, L)
-    suffix = jax.lax.associative_scan(F.add, p_pad, axis=0, reverse=True)
+    suffix = hillis_scan(F.add, p_pad, reverse=True)
     h = suffix[1:].reshape((blocks - 1) * m, L)
     rem = F.add(p_pad[0], suffix[1])
     return h, rem

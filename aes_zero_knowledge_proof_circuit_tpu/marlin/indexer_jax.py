@@ -19,9 +19,8 @@ import numpy as np
 
 from ..models.r1cs import R1CS
 from ..ops import kzg, poly_jax as P
-from ..ops.field_jax import fr_ops
+from ..ops.field_f32 import fr_f32
 from ..ops.field_params import R_MOD, inv_mod
-from ..ops.limbs import ints_to_limbs
 from ..ops.msm_jax import DevicePoints, msm_device
 from ..ops.poly_host import domain
 from .indexer import (
@@ -31,7 +30,7 @@ from .indexer import (
     _next_pow2_log,
 )
 
-F = fr_ops()
+F = fr_f32()
 
 
 def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
@@ -55,7 +54,6 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
     srs_dev = DevicePoints(srs.powers_g1)
     h_pows = P.powers(P.scalar(h.omega), n)
     n_inv = P.scalar(inv_mod(n, R_MOD))
-    one_raw = jnp.asarray(np.array([1] + [0] * (F.L - 1), np.uint32))
 
     matrices: List[MatrixIndex] = []
     comms: List[kzg.Commitment] = []
@@ -87,7 +85,9 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
         val_coeffs = P.intt(log_k, val_norm)
 
         def commit_dev(coeffs):
-            digits = F.mul(coeffs, one_raw[None, :])
+            from .prover_jax import to_msm_digits
+
+            digits = to_msm_digits(coeffs)
             return kzg.Commitment(
                 msm_device(srs_dev.slice(0, digits.shape[0]), digits)
             )

@@ -25,56 +25,50 @@ import numpy as np
 
 from ..ops import kzg, msm_host, poly_jax as P
 from ..ops.curve_host import AffinePoint
-from ..ops.field_jax import fr_ops
+from ..ops.field_f32 import digits_to_ints, fr_f32, ints_to_digits
 from ..ops.field_params import R_MOD, inv_mod, root_of_unity
-from ..ops.limbs import from_mont, ints_to_limbs
 from ..ops.msm_jax import DevicePoints, msm_device
 from ..ops.poly_host import domain, poly_div_linear
 from ..utils.transcript import Transcript
 from .indexer import MarlinProvingKey
 from .prover import MarlinProof
 
-F = fr_ops()
-L = F.L
-_ONE_RAW = jnp.asarray(
-    np.array([1] + [0] * (L - 1), np.uint32)
-)
+F = fr_f32()
+D = F.D
 
 
-def _to_std(coeffs_mont: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery -> standard-form limbs (= MSM digit decomposition)."""
-    return F.mul(coeffs_mont, _ONE_RAW[None, :])
+def to_msm_digits(coeffs_mont: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery digit coeffs -> canonical 16-bit limbs [.., 16] — the MSM
+    scalar digit decomposition (values < r < 2^253 fit 16 limbs)."""
+    return F.to_canonical_limbs(coeffs_mont)[..., :16]
 
 
 def _small_to_mont(vals: jnp.ndarray) -> jnp.ndarray:
-    """[N] int32 (|v| < 2^20) -> Montgomery limb tensor."""
+    """[N] int32 (|v| < 2^24) -> Montgomery digit tensor."""
     neg = vals < 0
-    mag = jnp.abs(vals).astype(jnp.uint32)
-    limb0 = mag & jnp.uint32(0xFFFF)
-    limb1 = mag >> 16
-    rest = jnp.zeros(vals.shape + (L - 2,), jnp.uint32)
-    raw = jnp.concatenate([limb0[..., None], limb1[..., None], rest], axis=-1)
-    r2 = jnp.asarray(ints_to_limbs([F.ctx.R2_mod], L)[0])
-    mont = F.mul(raw, r2)
+    mag = jnp.abs(vals)
+    bytes_ = [((mag >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(3)]
+    raw = jnp.stack(bytes_, axis=-1)
+    raw = jnp.pad(raw, [(0, 0)] * (vals.ndim) + [(0, D - 3)])
+    mont = F.mul(raw, F.r2_digits)
     return F.select(neg, F.neg(mont), mont)
 
 
 def _sparse_ints(positions: Sequence[int], values: Sequence[int],
                  length: int) -> jnp.ndarray:
     """Host sparse int poly -> dense device dpoly."""
-    arr = np.zeros((length, L), np.uint32)
-    lim = ints_to_limbs([v % R_MOD * F.ctx.R_mod % R_MOD for v in values], L)
-    for p, row in zip(positions, lim):
+    arr = np.zeros((length, D), np.float32)
+    dig = ints_to_digits(F, values)
+    for p, row in zip(positions, dig):
         arr[p] = row
     return jnp.asarray(arr)
 
 
 def _rand_mont(rng: _random.Random, n: int) -> jnp.ndarray:
-    """n uniform field elements in Montgomery form, generated vectorized."""
-    raw = np.frombuffer(rng.randbytes(n * 2 * L), dtype="<u2")
-    raw = raw.reshape(n, L).astype(np.uint32)
-    r2 = jnp.asarray(ints_to_limbs([F.ctx.R2_mod], L)[0])
-    return F.mul(jnp.asarray(raw), r2)  # (256-bit uniform) * R mod r
+    """n uniform field elements in Montgomery digit form."""
+    raw = np.frombuffer(rng.randbytes(n * D), dtype=np.uint8)
+    raw = raw.reshape(n, D).astype(np.float32)
+    return F.mul(jnp.asarray(raw), F.r2_digits)  # uniform < R, * R mod r
 
 
 class JaxProver:
@@ -151,15 +145,14 @@ class JaxProver:
         wn4 = pow(h4.omega, self.n, R_MOD)
         cyc = [(pow(wn4, i, R_MOD) - 1) % R_MOD for i in range(4)]
         self.vh_on_h4 = jnp.asarray(
-            np.tile(np.asarray(ints_to_limbs(
-                [c * F.ctx.R_mod % R_MOD for c in cyc], L)), (h4.n // 4, 1))
+            np.tile(ints_to_digits(F, cyc), (h4.n // 4, 1))
         )
 
     # -- commitment helper -------------------------------------------------
 
     def _commit(self, coeffs_mont: jnp.ndarray, offset: int = 0,
                 hiding: bool = False, rng: Optional[_random.Random] = None):
-        digits = _to_std(coeffs_mont)
+        digits = to_msm_digits(coeffs_mont)
         point = msm_device(self.srs_dev.slice(offset, digits.shape[0]), digits)
         rand_poly = None
         if hiding:
@@ -235,7 +228,7 @@ class JaxProver:
             s0 = F.neg(F.add(s_coeffs[n], s_coeffs[2 * n]))
             s_coeffs = s_coeffs.at[0].set(s0)
         else:
-            s_coeffs = jnp.zeros((1, L), jnp.uint32)
+            s_coeffs = jnp.zeros((1, D), jnp.float32)
 
         hb = zk
         comm_w, rand_w = self._commit(w_hat, hiding=hb, rng=rng)
@@ -269,7 +262,7 @@ class JaxProver:
         t_coeffs = P.intt(log_n, t_vals)
 
         w_vx = P.sub(
-            jnp.concatenate([jnp.zeros((x_size, L), jnp.uint32), w_hat]),
+            jnp.concatenate([jnp.zeros((x_size, D), jnp.float32), w_hat]),
             w_hat,
         )
         z_coeffs = P.add(w_vx, x_poly)
@@ -320,7 +313,7 @@ class JaxProver:
                 F.mul(md["val_norm"], P.scalar(scale_int)[None, :]),
                 F.batch_inv(b_vals),
             )
-            sigma = from_mont(F.ctx, np.asarray(P.tree_sum(f_vals))[None, :])[0]
+            sigma = digits_to_ints(F, P.tree_sum(f_vals)[None, :])[0]
             f_coeffs = P.intt(log_k, f_vals)
             g2 = f_coeffs[1:]
             a_coeffs = P.scale(md["val_coeffs"], P.scalar(scale_int))
@@ -350,9 +343,7 @@ class JaxProver:
 
         # ---- evaluations -------------------------------------------------
         def ev(p: jnp.ndarray, z: int) -> int:
-            return from_mont(
-                F.ctx, np.asarray(P.eval_at(p, P.scalar(z)))[None, :]
-            )[0]
+            return digits_to_ints(F, P.eval_at(p, P.scalar(z))[None, :])[0]
 
         evals_beta1 = [
             ev(w_hat, beta1), ev(za_coeffs, beta1), ev(zb_coeffs, beta1),
@@ -402,13 +393,13 @@ class JaxProver:
 
     def _batch_open(self, polys, z: int, xi: int) -> kzg.OpeningProof:
         max_len = max(off + p.shape[0] for p, off, _ in polys)
-        comb = jnp.zeros((max_len, L), jnp.uint32)
+        comb = jnp.zeros((max_len, D), jnp.float32)
         comb_rand = [0] * (kzg.HIDING_POWERS + 1)
         xi_pow = 1
         any_rand = False
         for coeffs, off, rand_poly in polys:
             scaled = P.scale(coeffs, P.scalar(xi_pow))
-            piece = jnp.zeros((max_len, L), jnp.uint32)
+            piece = jnp.zeros((max_len, D), jnp.float32)
             piece = jax.lax.dynamic_update_slice(piece, scaled, (off, 0))
             comb = F.add(comb, piece)
             if rand_poly is not None:
@@ -428,7 +419,7 @@ class JaxProver:
         w_coeffs = F.mul(F.sub(f_z[None, :], prefix), zinv_pows)
         # top coefficient w_{max_len-1} is 0 by construction; drop it
         w_coeffs = w_coeffs[: max_len - 1]
-        digits = _to_std(w_coeffs)
+        digits = to_msm_digits(w_coeffs)
         w_point = msm_device(self.srs_dev.slice(0, digits.shape[0]), digits)
         rand_eval = 0
         if any_rand:

@@ -1,11 +1,15 @@
-"""Batched BLS12-377 G1 arithmetic over Fq limb tensors (JAX).
+"""Batched BLS12-377 G1 arithmetic over Fq float32-digit tensors (JAX).
 
 TPU-native equivalent of ark-ec's projective G1 ops (SURVEY.md §2b: "G1 point
 add/double in Jacobian coords over 377-bit Fq as limb tensors"). Points are
-pytrees (X, Y, Z) of [..., 24] uint32 Montgomery-form limb tensors; Z == 0
-encodes infinity. The unified `add` is branchless: it evaluates the general
-and doubling formulas and selects per lane, so it is safe inside
-`associative_scan` / `fori_loop` (msm_jax.py).
+pytrees (X, Y, Z) of [..., 50] float32 digit tensors (ops/field_f32.py);
+Z digit-zero encodes infinity (infinity is only ever *created* as explicit
+zeros, and exact zeros propagate through the f32 engine, so the digit test
+is sound). The unified `add` is branchless — general and doubling formulas
+evaluated and selected per lane — so it is safe inside scans (msm_jax.py).
+
+Equality of intermediate values (the P==±Q detection) uses value-based
+zero tests (f32 digits are redundant: h == 0 mod q does NOT mean digit-zero).
 
 Bit-exact against ops/curve_host.AffinePoint (tests/test_msm_jax.py).
 """
@@ -20,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .curve_host import AffinePoint, g1_infinity, g1_point
-from .field_jax import FieldOps, fq_ops
-from .limbs import from_mont, to_mont
+from .field_f32 import F32Ops, digits_to_ints, fq_f32, ints_to_digits
 
 
 class JacPoint(NamedTuple):
@@ -35,14 +38,14 @@ def _is_inf(p: JacPoint) -> jnp.ndarray:
 
 
 def jac_infinity(batch_shape: Tuple[int, ...] = ()) -> JacPoint:
-    L = fq_ops().L
-    z = jnp.zeros(batch_shape + (L,), jnp.uint32)
+    d = fq_f32().D
+    z = jnp.zeros(batch_shape + (d,), jnp.float32)
     return JacPoint(z, z, z)
 
 
-def jac_double(p: JacPoint, ops: FieldOps | None = None) -> JacPoint:
+def jac_double(p: JacPoint, ops: F32Ops | None = None) -> JacPoint:
     """Jacobian doubling, a = 0 curve (y^2 = x^3 + 1)."""
-    f = ops or fq_ops()
+    f = ops or fq_f32()
     a = f.mul(p.x, p.x)                  # X1^2
     b = f.mul(p.y, p.y)                  # Y1^2
     c = f.mul(b, b)                      # B^2
@@ -57,8 +60,6 @@ def jac_double(p: JacPoint, ops: FieldOps | None = None) -> JacPoint:
     c8 = f.add(c8, c8)
     y3 = f.sub(f.mul(e, f.sub(d, x3)), c8)
     z3 = f.mul(f.add(p.y, p.y), p.z)
-    # doubling a point with y = 0 gives infinity; on this curve y=0 points
-    # are not in the subgroup, but infinity itself must stay fixed
     inf = _is_inf(p)
     zero = jnp.zeros_like(x3)
     return JacPoint(
@@ -66,9 +67,9 @@ def jac_double(p: JacPoint, ops: FieldOps | None = None) -> JacPoint:
     )
 
 
-def jac_add(p: JacPoint, q: JacPoint, ops: FieldOps | None = None) -> JacPoint:
+def jac_add(p: JacPoint, q: JacPoint, ops: F32Ops | None = None) -> JacPoint:
     """Unified branchless Jacobian addition (handles O, P==Q, P==-Q)."""
-    f = ops or fq_ops()
+    f = ops or fq_f32()
     z1z1 = f.mul(p.z, p.z)
     z2z2 = f.mul(q.z, q.z)
     u1 = f.mul(p.x, z2z2)
@@ -89,15 +90,13 @@ def jac_add(p: JacPoint, q: JacPoint, ops: FieldOps | None = None) -> JacPoint:
     dbl = jac_double(p, f)
     p_inf = _is_inf(p)
     q_inf = _is_inf(q)
-    x_eq = jnp.all(h == 0, axis=-1)
-    y_eq = jnp.all(r == 0, axis=-1)
+    x_eq = f.is_zero(h)   # value-based: digits are redundant
+    y_eq = f.is_zero(r)
     both = jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf))
     is_dbl = jnp.logical_and(both, jnp.logical_and(x_eq, y_eq))
     is_neg = jnp.logical_and(both, jnp.logical_and(x_eq, jnp.logical_not(y_eq)))
 
-    def sel(c, a, b):
-        return f.select(c, a, b)
-
+    sel = f.select
     out_x = sel(p_inf, q.x, sel(q_inf, p.x, sel(is_dbl, dbl.x, general.x)))
     out_y = sel(p_inf, q.y, sel(q_inf, p.y, sel(is_dbl, dbl.y, general.y)))
     out_z = sel(p_inf, q.z, sel(q_inf, p.z, sel(is_dbl, dbl.z, general.z)))
@@ -112,8 +111,8 @@ def jac_add(p: JacPoint, q: JacPoint, ops: FieldOps | None = None) -> JacPoint:
 
 
 def affine_to_device(points) -> JacPoint:
-    """List of host AffinePoints -> batched Jacobian limb tensors."""
-    ctx = fq_ops().ctx
+    """List of host AffinePoints -> batched Jacobian digit tensors."""
+    ops = fq_f32()
     xs, ys, zs = [], [], []
     for p in points:
         if p.inf:
@@ -125,26 +124,27 @@ def affine_to_device(points) -> JacPoint:
             ys.append(p.y)
             zs.append(1)
     return JacPoint(
-        jnp.asarray(to_mont(ctx, xs)),
-        jnp.asarray(to_mont(ctx, ys)),
-        jnp.asarray(to_mont(ctx, zs)),
+        jnp.asarray(ints_to_digits(ops, xs)),
+        jnp.asarray(ints_to_digits(ops, ys)),
+        jnp.asarray(ints_to_digits(ops, zs)),
     )
 
 
 def device_to_affine(p: JacPoint):
-    """Batched Jacobian -> list of host AffinePoints (host inversion)."""
-    from .field_params import Q_MOD, inv_mod
+    """Batched Jacobian -> list of host AffinePoints.
 
-    ctx = fq_ops().ctx
-    xs = from_mont(ctx, np.asarray(p.x))
-    ys = from_mont(ctx, np.asarray(p.y))
-    zs = from_mont(ctx, np.asarray(p.z))
+    Normalizes on device with one batched inversion, then converts."""
+    ops = fq_f32()
+    inf = np.asarray(_is_inf(p))
+    zinv = ops.batch_inv(p.z.reshape(-1, ops.D))
+    zinv2 = ops.mul(zinv, zinv)
+    zinv3 = ops.mul(zinv2, zinv)
+    ax = digits_to_ints(ops, ops.mul(p.x.reshape(-1, ops.D), zinv2))
+    ay = digits_to_ints(ops, ops.mul(p.y.reshape(-1, ops.D), zinv3))
     out = []
-    for x, y, z in zip(xs, ys, zs):
-        if z == 0:
+    for i, (x, y) in enumerate(zip(ax, ay)):
+        if inf.reshape(-1)[i]:
             out.append(g1_infinity())
         else:
-            zi = inv_mod(z, Q_MOD)
-            zi2 = zi * zi % Q_MOD
-            out.append(g1_point(x * zi2 % Q_MOD, y * zi2 % Q_MOD * zi % Q_MOD))
+            out.append(g1_point(x, y))
     return out

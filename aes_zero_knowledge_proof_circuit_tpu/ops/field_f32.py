@@ -90,6 +90,7 @@ class F32Ops:
         self.two_n = jnp.asarray(_int_to_digits(2 * n_mod, self.D))
         self.c16n = jnp.asarray(_int_to_digits(16 * n_mod, self.D))
         self.one_mont = jnp.asarray(_int_to_digits(ctx.R_mod, self.D))
+        self.r2_digits = jnp.asarray(_int_to_digits(ctx.R2_mod, self.D))
         self.zero = jnp.zeros((self.D,), jnp.float32)
         # fold() estimate constant: top-4-digit value / (2N), as float
         self.inv_2n_scaled = float(
@@ -107,6 +108,7 @@ class F32Ops:
         self.inv = jax.jit(self.inv)
         self.to_canonical_limbs = jax.jit(self.to_canonical_limbs)
         self.from_limb16 = jax.jit(self.from_limb16)
+        self.is_zero = jax.jit(self.is_zero)
 
     # -- digit plumbing ----------------------------------------------------
 
@@ -121,8 +123,9 @@ class F32Ops:
         return cols
 
     def _fold(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Subtract m*2N (m from a top-4-digit estimate, minus one for
-        safety) -> value in [0, ~4.1 N), digits ~(-2, 260)."""
+        """Subtract m*2N (m from a top-4-digit underestimate, minus one for
+        safety; the estimate can lag floor(v/2N) by up to 2) -> value in
+        [0, 6N), digits ~(-2, 260). All ops are closed over value < 6N."""
         d = x
         est = (
             d[..., -1] * 16777216.0
@@ -204,8 +207,14 @@ class F32Ops:
         return jnp.where(is_zero[..., None], 0.0, out)
 
     def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
-        """Value == 0 (mod N) test via canonicalization."""
-        return jnp.all(self.to_canonical_limbs(a) == 0, axis=-1)
+        """Value == 0 (mod N) for fold-range inputs (< 6N): canonicalize
+        the digits once and compare against the k*N patterns, k = 0..6."""
+        e = self._exact_signed(a)[..., : self.D]
+        hit = jnp.zeros(e.shape[:-1], bool)
+        for k in range(7):
+            kn = jnp.asarray(_int_to_digits(k * self.ctx.modulus, self.D))
+            hit = jnp.logical_or(hit, jnp.all(e == kn, axis=-1))
+        return hit
 
     def select(self, cond, a, b):
         return jnp.where(cond[..., None], a, b).astype(jnp.float32)
@@ -223,7 +232,7 @@ class F32Ops:
     def to_canonical_limbs(self, a: jnp.ndarray) -> jnp.ndarray:
         """Redundant digits -> canonical uint32 16-bit limbs in [0, N)."""
         d = self._exact_signed(a)[..., : self.D]
-        for _ in range(4):  # value < ~4.1 N -> at most a few subtractions
+        for _ in range(6):  # value < 6N -> at most 6 subtractions
             e = self._exact_signed(d - self.mod_digits)
             ge = e[..., -1] < 128.0  # wrapped sign: 0 = nonneg, 255 = neg
             d = jnp.where(ge[..., None], e[..., : self.D], d)

@@ -66,9 +66,10 @@ def _seg_combine_fn():
         fa, pa = a
         fb, pb = b
         summed = jac_add(pa, pb)
-        x = jnp.where(fb[..., None] != 0, pb.x, summed.x).astype(jnp.uint32)
-        y = jnp.where(fb[..., None] != 0, pb.y, summed.y).astype(jnp.uint32)
-        z = jnp.where(fb[..., None] != 0, pb.z, summed.z).astype(jnp.uint32)
+        keep_b = fb[..., None] != 0
+        x = jnp.where(keep_b, pb.x, summed.x).astype(pb.x.dtype)
+        y = jnp.where(keep_b, pb.y, summed.y).astype(pb.y.dtype)
+        z = jnp.where(keep_b, pb.z, summed.z).astype(pb.z.dtype)
         return (fa | fb, JacPoint(x, y, z))
 
     import jax as _jax
@@ -131,7 +132,7 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
         is_tail = jnp.concatenate([(ds[1:] != ds[:-1]), jnp.ones((1,), bool)])
         dump = num_buckets
         target = jnp.where(is_tail & (ds > 0), ds, dump)
-        bx = jnp.zeros((num_buckets + 1, points.x.shape[-1]), jnp.uint32)
+        bx = jnp.zeros((num_buckets + 1, points.x.shape[-1]), points.x.dtype)
         by = jnp.zeros_like(bx)
         bz = jnp.zeros_like(bx)
         bx = bx.at[target].set(scanned.x)
@@ -227,23 +228,23 @@ class DevicePoints:
 
     @staticmethod
     def _from_packed(packed: np.ndarray) -> JacPoint:
-        """[N, 2, 24] standard-form affine limbs -> device Jacobian tensors
-        (no per-point host bigint work — the SRS checkpoint fast path)."""
-        from .field_jax import fq_ops
-        from .limbs import ints_to_limbs
+        """[N, 2, 24] standard-form affine limbs -> device Jacobian digit
+        tensors (no per-point host bigint work — the SRS checkpoint path)."""
+        from .field_f32 import fq_f32
 
-        fq = fq_ops()
+        fq = fq_f32()
         raw = jnp.asarray(packed.astype(np.uint32))
-        r2 = jnp.asarray(ints_to_limbs([fq.ctx.R2_mod], fq.L)[0])
-        x = fq.mul(raw[:, 0, :], r2[None, :])
-        y = fq.mul(raw[:, 1, :], r2[None, :])
+        xd = fq.from_limb16(raw[:, 0, :])
+        yd = fq.from_limb16(raw[:, 1, :])
+        # to Montgomery form: REDC-mul standard digits by R^2
+        x = fq.mul(xd, fq.r2_digits[None, :])
+        y = fq.mul(yd, fq.r2_digits[None, :])
         finite = jnp.logical_or(
             jnp.any(raw[:, 0, :] != 0, axis=-1),
             jnp.any(raw[:, 1, :] != 0, axis=-1),
         )
-        one = jnp.asarray(ints_to_limbs([fq.ctx.R_mod], fq.L)[0])
-        z = jnp.where(finite[:, None], one[None, :], 0).astype(jnp.uint32)
-        return JacPoint(x, y, z)
+        z = jnp.where(finite[:, None], fq.one_mont[None, :], 0.0)
+        return JacPoint(x, y, z.astype(jnp.float32))
 
     def slice(self, start: int, length: int) -> JacPoint:
         return JacPoint(

@@ -1,9 +1,10 @@
-"""Device-side polynomial toolbox over Fr limb tensors.
+"""Device-side polynomial toolbox over Fr f32-digit tensors.
 
 The JAX counterpart of ops/poly_host.py used by the TPU Marlin prover
-(marlin/prover_jax.py). A "dpoly" is a [len, 16] uint32 Montgomery-form limb
-tensor of coefficients (low -> high). Everything here composes the NTT
-engines, field ops and log-depth scans; no host round-trips on the hot path.
+(marlin/prover_jax.py). A "dpoly" is a [len, D] float32 digit tensor of
+Montgomery-form coefficients (low -> high). Everything composes the f32
+field engine, the NTT engines, and constant-shape scans; no host round-trips
+on the hot path.
 """
 
 from __future__ import annotations
@@ -14,23 +15,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .field_jax import fr_ops
-from .field_params import R_MOD, root_of_unity
-from .limbs import to_mont
+from .field_f32 import fr_f32, ints_to_digits
+from .field_params import R_MOD
 from .ntt_jax import ntt_engine
 
-F = fr_ops()
-L = F.L
+F = fr_f32()
+D = F.D
 
 
 def dpoly(ints) -> jnp.ndarray:
-    """Host ints -> device Montgomery coefficients."""
-    return jnp.asarray(to_mont(F.ctx, [v % R_MOD for v in ints]))
+    """Host ints -> device Montgomery digit coefficients."""
+    return jnp.asarray(ints_to_digits(F, ints))
 
 
 def scalar(v: int) -> jnp.ndarray:
-    """Host int -> [L] Montgomery limb vector."""
-    return jnp.asarray(to_mont(F.ctx, [v % R_MOD])[0])
+    """Host int -> [D] Montgomery digit vector."""
+    return jnp.asarray(ints_to_digits(F, [v])[0])
 
 
 def pad_to(p: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -79,17 +79,17 @@ def tree_sum(vals: jnp.ndarray) -> jnp.ndarray:
 
 
 def powers(z: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[n, L]: 1, z, z^2, ..., z^(n-1) via log-depth scan."""
+    """[n, D]: 1, z, z^2, ..., z^(n-1) via log-depth scan."""
     from .scan_utils import hillis_scan
 
-    base = jnp.broadcast_to(z, (n, L)).astype(jnp.uint32)
-    first = jnp.broadcast_to(F.one_mont, (1, L)).astype(jnp.uint32)
+    base = jnp.broadcast_to(z, (n, D)).astype(jnp.float32)
+    first = jnp.broadcast_to(F.one_mont, (1, D)).astype(jnp.float32)
     seq = jnp.concatenate([first, base[: n - 1]], axis=0)
     return hillis_scan(F.mul, seq)
 
 
 def eval_at(p: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    """p(z) for device point z ([L] Montgomery); returns [L]."""
+    """p(z) for device point z ([D] Montgomery digits); returns [D]."""
     pw = powers(z, p.shape[0])
     return tree_sum(F.mul(p, pw))
 
@@ -101,66 +101,48 @@ def div_vanishing(p: jnp.ndarray, m: int):
     """
     n = p.shape[0]
     if n <= m:
-        return jnp.zeros((1, L), jnp.uint32), pad_to(p, m)
+        return jnp.zeros((1, D), jnp.float32), pad_to(p, m)
     from .scan_utils import hillis_scan
 
     blocks = -(-n // m)
-    p_pad = pad_to(p, blocks * m).reshape(blocks, m, L)
+    p_pad = pad_to(p, blocks * m).reshape(blocks, m, D)
     suffix = hillis_scan(F.add, p_pad, reverse=True)
-    h = suffix[1:].reshape((blocks - 1) * m, L)
+    h = suffix[1:].reshape((blocks - 1) * m, D)
     rem = F.add(p_pad[0], suffix[1])
     return h, rem
 
 
 def segment_sum_mod(values: jnp.ndarray, seg_ids: jnp.ndarray,
                     num_segments: int) -> jnp.ndarray:
-    """Modular segment sum of [N, L] Montgomery field elements by [N] ids.
+    """Modular segment sum of [N, D] Montgomery digit elements by [N] ids.
 
-    Uses plain integer jax.ops.segment_sum on an 8-bit limb split (no
-    overflow for N < 2^24), then folds the redundant byte-weight columns back
-    into reduced Montgomery form with two REDC multiplies:
-
-        V = V_lo + 2^256 V_hi            (V is already Montgomery-form)
-        V mod r = F.mul(V_lo, C1) + F.mul(V_hi, C2)
-        C1 = R mod r,  C2 = R^2 mod r    (R = 2^256)
-
-    (F.mul(a, b) = a*b*R^-1 fully reduced, valid for any a, b < R; summing
-    Montgomery residues keeps the Montgomery factor, so only a reduction —
-    not a form change — is needed.)
+    Digits (< 2^10) cast to int32 and integer-segment-summed (exact for
+    N < 2^20), then the widened column sums fold back into fold-range
+    Montgomery digits:   V = V_lo + R * V_hi,  V_hi * R = mul(V_hi, R^2).
     """
     n = values.shape[0]
-    assert n < (1 << 24)
-    # byte-weight columns: c_j (weight 2^(8j)) = segment_sum of byte j
-    lo = values & jnp.uint32(0xFF)
-    hi = (values >> jnp.uint32(8)) & jnp.uint32(0xFF)
-    interleaved = jnp.stack([lo, hi], axis=-1).reshape(n, 2 * L)
-    sums = jax.ops.segment_sum(interleaved, seg_ids,
-                               num_segments=num_segments)  # [S, 2L] < 2^32
-    # expand each c_j into its 4 bytes at weights 8j..8j+24 -> byte grid
-    width8 = 2 * L + 4
-    grid = jnp.zeros((num_segments, width8), jnp.uint32)
-    for shift in range(4):
-        part = (sums >> jnp.uint32(8 * shift)) & jnp.uint32(0xFF)
-        grid = grid + jnp.pad(part, ((0, 0), (shift, 4 - shift)))
-    # pack byte pairs into 16-bit limbs and carry-normalize
-    width16 = width8 // 2
-    w16 = grid[:, 0::2] + (grid[:, 1::2] << jnp.uint32(8))  # each < 2^19
-    out = []
-    carry = jnp.zeros((num_segments,), jnp.uint32)
-    for i in range(width16):
-        v = w16[:, i] + carry
-        out.append(v & jnp.uint32(0xFFFF))
-        carry = v >> 16
-    out.append(carry)
-    wide = jnp.stack(out, axis=-1)  # [S, L+3], standard form, < 2^(16L+48)
-    v_lo = wide[:, :L]
-    v_hi = jnp.pad(wide[:, L:], ((0, 0), (0, 2 * L - width16 - 1)))
-    c1 = jnp.asarray(
-        np.array([(F.ctx.R_mod >> (16 * i)) & 0xFFFF for i in range(L)],
-                 np.uint32)
-    )
-    c2 = jnp.asarray(
-        np.array([(F.ctx.R2_mod >> (16 * i)) & 0xFFFF for i in range(L)],
-                 np.uint32)
-    )
-    return F.add(F.mul(v_lo, c1[None, :]), F.mul(v_hi, c2[None, :]))
+    assert n < (1 << 21)
+    ints = values.astype(jnp.int32)
+    # digits can be slightly negative (fold leaves a band ~(-2, 260));
+    # byte-splitting needs non-negative sums, so sum the positive and
+    # negative parts separately and subtract in the field
+    pos = jax.ops.segment_sum(jnp.maximum(ints, 0), seg_ids,
+                              num_segments=num_segments)
+    neg = jax.ops.segment_sum(jnp.maximum(-ints, 0), seg_ids,
+                              num_segments=num_segments)
+
+    def fold_sums(sums):
+        # columns < 2^10 * N < 2^31; byte-split in integer space (f32 would
+        # round above 2^24), accumulate on a width-2D grid
+        width = 2 * D
+        grid = jnp.zeros((num_segments, width), jnp.float32)
+        for shift in range(4):
+            part = ((sums >> (8 * shift)) & 0xFF).astype(jnp.float32)
+            grid = grid + jnp.pad(part, ((0, 0), (shift, width - D - shift)))
+        grid = F._norm(grid)
+        v_lo = grid[..., :D]
+        v_hi = grid[..., D:]                          # exactly D columns
+        hi_part = F.mul(v_hi, F.r2_digits[None, :])   # V_hi * R mod r
+        return F.add(F._fold(v_lo), hi_part)
+
+    return F.sub(fold_sums(pos), fold_sums(neg))

@@ -21,17 +21,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import poly_jax as PJ
-from ..ops.field_jax import fr_ops
+from ..ops.field_f32 import fr_f32, ints_to_digits
 from ..ops.field_params import R_MOD, inv_mod, root_of_unity
-from ..ops.limbs import to_mont
 from ..ops.ntt_jax import ntt_engine
 
-F = fr_ops()
+F = fr_f32()
 
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> np.ndarray:
-    """[N2, N1] limbs: w_N^(n1*k2) (row k2, col n1), Montgomery form."""
+    """[N2, N1] digits: w_N^(n1*k2) (row k2, col n1), Montgomery form."""
     n1, n2 = 1 << log_n1, 1 << log_n2
     w = root_of_unity(log_n1 + log_n2)
     if inverse:
@@ -46,7 +45,7 @@ def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> np.ndarray:
             acc = acc * base % R_MOD
         rows.append(row)
     flat = [v for row in rows for v in row]
-    return to_mont(F.ctx, flat).reshape(n2, n1, F.L)
+    return ints_to_digits(F, flat).reshape(n2, n1, F.D)
 
 
 def _batched_ntt(log_n: int, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
@@ -78,7 +77,7 @@ def ntt_sharded(
 
     def run(a_flat):
         # A[n2][n1]: n = n2*N1 + n1... input index n = row*n1 + col
-        a = a_flat.reshape(n2, n1, F.L)
+        a = a_flat.reshape(n2, n1, F.D)
         a = jax.lax.with_sharding_constraint(a, col_sharding)
         b = _batched_ntt(log_n2, a, inverse)           # over n2, local
         c = F.mul(b, tw)                                # twiddle, local
@@ -87,6 +86,6 @@ def ntt_sharded(
         d = _batched_ntt(log_n1, ct, inverse)           # over n1, local
         # d[k1][k2] = X[k1*N2 + k2] -> row-major flatten IS the output.
         # (inverse: both passes scale by 1/n1 and 1/n2 -> total 1/n, correct)
-        return d.reshape(n, F.L)
+        return d.reshape(n, F.D)
 
     return jax.jit(run)(coeffs)

@@ -26,12 +26,13 @@ import numpy as np
 from ..ops import kzg
 from ..ops.curve_host import AffinePoint, g1_generator, g1_infinity, g1_point, g2_generator
 from ..ops.curve_jax import JacPoint, jac_add
-from ..ops.field_jax import fq_ops, fr_ops
+from ..ops.field_f32 import fq_f32
+
 from ..ops.field_params import Q_MOD, R_MOD, inv_mod
-from ..ops.limbs import from_mont, ints_to_limbs, limbs_to_ints
+
 from ..ops import poly_jax as P
 
-FQ = fq_ops()
+FQ = fq_f32()
 WINDOW = 8
 N_WINDOWS = 32  # 256-bit scalars in 8-bit windows
 
@@ -83,7 +84,10 @@ def _window_tables(g: AffinePoint) -> List[List[AffinePoint]]:
 
 
 def _tables_to_device(tables) -> JacPoint:
-    """[W, 256] affine tables -> device Jacobian limb tensors (z=0 for d=0)."""
+    """[W, 256] affine tables -> device Jacobian digit tensors (z=0 for
+    d=0)."""
+    from ..ops.field_f32 import ints_to_digits
+
     xs, ys, zs = [], [], []
     for row in tables:
         for p in row:
@@ -95,10 +99,10 @@ def _tables_to_device(tables) -> JacPoint:
                 xs.append(p.x)
                 ys.append(p.y)
                 zs.append(1)
-    ctx = FQ.ctx
-    mont = lambda vals: jnp.asarray(
-        np.asarray(ints_to_limbs([v * ctx.R_mod % Q_MOD for v in vals], 24))
-    ).reshape(N_WINDOWS, 256, 24)
+    d = FQ.D
+    mont = lambda vals: jnp.asarray(ints_to_digits(FQ, vals)).reshape(
+        N_WINDOWS, 256, d
+    )
     return JacPoint(mont(xs), mont(ys), mont(zs))
 
 
@@ -121,16 +125,16 @@ def fixed_base_msm_device(table_dev: JacPoint, digits8: jnp.ndarray) -> JacPoint
 def jacobian_to_affine_packed(pts: JacPoint) -> np.ndarray:
     """Batched normalization: [N] Jacobian -> [N, 2, 24] packed standard-form
     affine limbs (infinity -> zeros). One batched Fq inversion."""
+    one_digits = jnp.zeros((FQ.D,), jnp.float32).at[0].set(1.0)
     zinv = FQ.batch_inv(pts.z)
     zinv2 = FQ.mul(zinv, zinv)
     zinv3 = FQ.mul(zinv2, zinv)
-    ax = FQ.mul(pts.x, zinv2)
-    ay = FQ.mul(pts.y, zinv3)
-    one_raw = jnp.asarray(np.array([1] + [0] * 23, np.uint32))
-    ax_std = FQ.mul(ax, one_raw[None, :])
-    ay_std = FQ.mul(ay, one_raw[None, :])
-    packed = np.stack([np.asarray(ax_std), np.asarray(ay_std)], axis=1)
-    return packed.astype(np.uint32)
+    # de-montgomery-ize: REDC-mul by 1
+    ax = FQ.mul(FQ.mul(pts.x, zinv2), one_digits[None, :])
+    ay = FQ.mul(FQ.mul(pts.y, zinv3), one_digits[None, :])
+    ax16 = np.asarray(FQ.to_canonical_limbs(ax))[:, :24]
+    ay16 = np.asarray(FQ.to_canonical_limbs(ay))[:, :24]
+    return np.stack([ax16, ay16], axis=1).astype(np.uint32)
 
 
 def generate_srs_device(max_degree: int, rng: _random.Random,
@@ -145,7 +149,9 @@ def generate_srs_device(max_degree: int, rng: _random.Random,
     n = max_degree + 1
     # tau powers (standard form) on device, chunked to bound memory
     packed_out = np.zeros((n, 2, 24), np.uint32)
-    fr = fr_ops()
+    from ..ops.field_f32 import fr_f32
+
+    fr = fr_f32()
     tau_mont = P.scalar(tau)
     start = 0
     tau_chunk_base = 1  # tau^start as python int
@@ -155,11 +161,9 @@ def generate_srs_device(max_degree: int, rng: _random.Random,
         pw = P.powers(tau_mont, m)
         base_mont = P.scalar(tau_chunk_base)
         pw = fr.mul(pw, base_mont[None, :])
-        std = fr.mul(pw, jnp.asarray(
-            np.array([1] + [0] * 15, np.uint32))[None, :])
+        std16 = fr.to_canonical_limbs(pw)[..., :16]    # [m, 16] uint32
         digits8 = jnp.stack(
-            [(std >> jnp.uint32(0)) & jnp.uint32(0xFF),
-             (std >> jnp.uint32(8)) & jnp.uint32(0xFF)],
+            [std16 & jnp.uint32(0xFF), (std16 >> jnp.uint32(8)) & jnp.uint32(0xFF)],
             axis=-1,
         ).reshape(m, 32).astype(jnp.int32)
         jac = fixed_base_msm_device(table_dev, digits8)

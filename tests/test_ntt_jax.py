@@ -1,12 +1,16 @@
-"""JAX NTT engine vs host Domain oracle (bit-exact)."""
+"""JAX NTT engine (f32 digits) vs host Domain oracle (bit-exact)."""
 
 import random
 
 import numpy as np
 import pytest
 
-from aes_zero_knowledge_proof_circuit_tpu.ops import limbs, poly_host
-from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+from aes_zero_knowledge_proof_circuit_tpu.ops import poly_host
+from aes_zero_knowledge_proof_circuit_tpu.ops.field_f32 import (
+    digits_to_ints,
+    fr_f32,
+    ints_to_digits,
+)
 from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
 from aes_zero_knowledge_proof_circuit_tpu.ops.ntt_jax import ntt_engine
 
@@ -15,18 +19,24 @@ rng = random.Random(99)
 
 @pytest.mark.parametrize("log_n", [1, 4, 8])
 def test_ntt_matches_host(log_n):
+    import jax.numpy as jnp
+
     eng = ntt_engine(log_n)
-    ctx = fr_ops().ctx
+    ops = fr_f32()
     d = poly_host.domain(log_n)
     coeffs = [rng.randrange(R_MOD) for _ in range(d.n)]
-    dev = limbs.to_mont(ctx, coeffs)
-    got = limbs.from_mont(ctx, np.asarray(eng.ntt(dev)))
+    dev = jnp.asarray(ints_to_digits(ops, coeffs))
+    got = digits_to_ints(ops, eng.ntt(dev))
     assert got == d.ntt(coeffs)
-    back = limbs.from_mont(ctx, np.asarray(eng.intt(np.asarray(eng.ntt(dev)))))
+    back = digits_to_ints(ops, eng.intt(eng.ntt(dev)))
     assert back == coeffs
 
 
-def test_batch_inv():
+def test_batch_inv_uint32_engine():
+    """The uint32 limb engine stays as the integer reference path."""
+    from aes_zero_knowledge_proof_circuit_tpu.ops import limbs
+    from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+
     ops = fr_ops()
     ctx = ops.ctx
     vals = [0] + [rng.randrange(1, R_MOD) for _ in range(31)]

@@ -1,20 +1,20 @@
-"""Device polynomial toolbox vs host oracle."""
+"""Device polynomial toolbox (f32 digits) vs host oracle."""
 
 import random
 
 import numpy as np
 import pytest
 
-from aes_zero_knowledge_proof_circuit_tpu.ops import limbs, poly_host, poly_jax
-from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+from aes_zero_knowledge_proof_circuit_tpu.ops import poly_host, poly_jax
+from aes_zero_knowledge_proof_circuit_tpu.ops.field_f32 import digits_to_ints
 from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
 
 rng = random.Random(5)
-F = fr_ops()
+F = poly_jax.F
 
 
 def _from(p):
-    return limbs.from_mont(F.ctx, np.asarray(p))
+    return digits_to_ints(F, p)
 
 
 def test_mul_polys():

@@ -76,8 +76,48 @@ def _bench_block_proof():
     }
 
 
+def _tpu_responsive(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator with a trivial op under a hard timeout — the
+    axon tunnel can be wedged by orphaned server-side work, and a wedged
+    device must not hang the benchmark driver."""
+    import multiprocessing as mp
+
+    def probe(q):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() not in ("tpu", "axon"):
+                q.put(False)
+                return
+            y = float((jnp.arange(64, dtype=jnp.float32) * 2).sum())
+            q.put(y == 4032.0)
+        except Exception:
+            q.put(False)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=probe, args=(q,))
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.terminate()
+        return False
+    try:
+        return bool(q.get_nowait())
+    except Exception:
+        return False
+
+
 def main() -> None:
     mode = os.environ.get("ZKAES_BENCH", "auto")
+    if mode == "auto" and not _tpu_responsive():
+        print("# TPU unresponsive; running microbench on CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        mode = "micro"
     result = None
     if mode in ("auto", "full"):
         try:

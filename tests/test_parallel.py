@@ -6,8 +6,12 @@ import jax
 import numpy as np
 import pytest
 
-from aes_zero_knowledge_proof_circuit_tpu.ops import limbs, poly_host
-from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+from aes_zero_knowledge_proof_circuit_tpu.ops import poly_host
+from aes_zero_knowledge_proof_circuit_tpu.ops.field_f32 import (
+    digits_to_ints,
+    fr_f32,
+    ints_to_digits,
+)
 from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
 from aes_zero_knowledge_proof_circuit_tpu.parallel.mesh import make_mesh
 from aes_zero_knowledge_proof_circuit_tpu.parallel.sharded_ntt import ntt_sharded
@@ -21,29 +25,31 @@ def test_mesh_has_8_devices():
 
 
 def test_sharded_ntt_matches_host():
+    import jax.numpy as jnp
+
     mesh = make_mesh()
     log_n1, log_n2 = 3, 4  # 128 elements, n1 axis sharded over 8 devices
     n = 1 << (log_n1 + log_n2)
     coeffs = [rng.randrange(R_MOD) for _ in range(n)]
-    ctx = fr_ops().ctx
-    dev = limbs.to_mont(ctx, coeffs)
-    got = limbs.from_mont(
-        ctx, np.asarray(ntt_sharded(mesh, dev, log_n1, log_n2))
-    )
+    ops = fr_f32()
+    dev = jnp.asarray(ints_to_digits(ops, coeffs))
+    got = digits_to_ints(ops, ntt_sharded(mesh, dev, log_n1, log_n2))
     want = poly_host.domain(log_n1 + log_n2).ntt(coeffs)
     assert got == want
 
 
 def test_sharded_intt_roundtrip():
+    import jax.numpy as jnp
+
     mesh = make_mesh()
     log_n1, log_n2 = 3, 3
     n = 1 << (log_n1 + log_n2)
     coeffs = [rng.randrange(R_MOD) for _ in range(n)]
-    ctx = fr_ops().ctx
-    dev = limbs.to_mont(ctx, coeffs)
+    ops = fr_f32()
+    dev = jnp.asarray(ints_to_digits(ops, coeffs))
     evals = ntt_sharded(mesh, dev, log_n1, log_n2)
-    back = limbs.from_mont(
-        ctx, np.asarray(ntt_sharded(mesh, evals, log_n1, log_n2, inverse=True))
+    back = digits_to_ints(
+        ops, ntt_sharded(mesh, evals, log_n1, log_n2, inverse=True)
     )
     assert back == coeffs
 

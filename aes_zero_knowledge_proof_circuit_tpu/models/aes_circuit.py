@@ -205,13 +205,20 @@ class Template:
     r1cs: object            # finalized models.r1cs.R1CS
     plan: CompiledPlan
     stage_log: List[Tuple[str, Dict[str, int]]]
+    mode: str = "ecb"
 
-    def witness_z(self, message: bytes, key: bytes) -> np.ndarray:
+    def witness_z(self, message: bytes, key: bytes,
+                  iv: bytes | None = None) -> np.ndarray:
         """Full z vector (int32 bits) for concrete inputs (host evaluator;
         the JAX evaluator lives in ops/witness_jax.py)."""
-        msg_bits = _bytes_to_bits(message)
-        key_bits = _bytes_to_bits(key)
-        return self.plan.evaluate({"message": msg_bits, "key": key_bits})
+        inputs = {
+            "message": _bytes_to_bits(message),
+            "key": _bytes_to_bits(key),
+        }
+        if self.mode == "cbc":
+            assert iv is not None and len(iv) == 16
+            inputs["iv"] = _bytes_to_bits(iv)
+        return self.plan.evaluate(inputs)
 
 
 def _bytes_to_bits(data: bytes) -> np.ndarray:
@@ -219,16 +226,28 @@ def _bytes_to_bits(data: bytes) -> np.ndarray:
     return ((arr[:, None] >> np.arange(8)) & 1).astype(np.int32).reshape(-1)
 
 
-def build_template(msg_len: int, log_stages: bool = False) -> Template:
+def build_template(msg_len: int, log_stages: bool = False,
+                   mode: str = "ecb") -> Template:
     """Synthesize the full template for a msg_len-byte message (multiple of
     16). Mirrors encrypt() allocation order: message witnesses, key
-    witnesses, circuit, ciphertext public inputs (src/lib.rs:60-114)."""
+    witnesses, circuit, ciphertext public inputs (src/lib.rs:60-114).
+
+    mode="cbc" adds the reference's roadmap capability
+    (tests/integration_tests.rs:1): a public 16-byte IV, with each block
+    XORed with the previous ciphertext block before encryption."""
     assert msg_len % 16 == 0 and msg_len > 0
+    assert mode in ("ecb", "cbc")
     sy = Synth()
     stage_log: List[Tuple[str, Dict[str, int]]] = []
 
     def log(stage: str) -> None:
         stage_log.append((stage, sy.cs.stats()))
+
+    chain: List[Byte] | None = None
+    if mode == "cbc":
+        iv_bits = [sy.alloc_instance_input_bit("iv", i) for i in range(128)]
+        chain = [tuple(iv_bits[8 * i : 8 * i + 8]) for i in range(16)]
+        log("After allocating the IV")
 
     message = [
         tuple(sy.alloc_input_bit("message", 8 * i + j) for j in range(8))
@@ -249,6 +268,8 @@ def build_template(msg_len: int, log_stages: bool = False) -> Template:
     computed_ct: List[Byte] = []
     for blk in range(msg_len // 16):
         block = message[16 * blk : 16 * blk + 16]
+        if mode == "cbc":
+            block = [byte_xor(sy, a, b) for a, b in zip(block, chain)]
         # round 0: raw key is round key 0 (src/lib.rs:196)
         state = add_round_key(sy, block, key)
         log(f"block {blk}: after add_round_key round 0")
@@ -264,6 +285,8 @@ def build_template(msg_len: int, log_stages: bool = False) -> Template:
         state = add_round_key(sy, state, round_keys[10])
         log(f"block {blk}: after round 10")
         computed_ct.extend(state)
+        if mode == "cbc":
+            chain = state  # next block chains on this ciphertext
 
     # ciphertext as public input, LSB-first bits per byte (src/lib.rs:282-286)
     for byte in computed_ct:
@@ -279,4 +302,5 @@ def build_template(msg_len: int, log_stages: bool = False) -> Template:
         lg = logging.getLogger(__name__)
         for stage, stats in stage_log:
             lg.debug("CONSTRAINT SYSTEM STATUS: %s %s", stage, stats)
-    return Template(msg_len=msg_len, r1cs=r1cs, plan=plan, stage_log=stage_log)
+    return Template(msg_len=msg_len, r1cs=r1cs, plan=plan,
+                    stage_log=stage_log, mode=mode)

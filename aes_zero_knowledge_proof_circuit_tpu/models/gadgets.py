@@ -113,6 +113,14 @@ class Synth:
         self.cs.enforce(b.lc(), b.negate().lc(), {})
         return b
 
+    def alloc_instance_input_bit(self, source: str, slot: int) -> Bool:
+        """Public-input bit valued from an external input tensor (CBC IV)."""
+        idx = self.cs.new_instance_var()
+        self.plan.add_instance_input(idx, source, slot)
+        b = Bool.from_var(idx)
+        self.cs.enforce(b.lc(), b.negate().lc(), {})  # booleanity
+        return b
+
     def alloc_instance_bit(self, output_lc_of: Bool) -> Bool:
         """Public-input bit (ciphertext), valued from a computed bit
         (src/lib.rs:282-286: new_input then enforce_equal)."""

@@ -51,6 +51,11 @@ class WitnessPlan:
         self.inputs.append((wit_id, source, slot))
         self._levels[wit_id] = 0
 
+    def add_instance_input(self, inst_idx: int, source: str, slot: int) -> None:
+        """Public-input bit fed from an external tensor (e.g. a CBC IV)."""
+        self.inputs.append((inst_idx, source, slot))
+        self._levels[inst_idx] = 0
+
     def add_op(self, wit_id: int, x: int, y: int, s: int,
                coeffs: Tuple[int, ...]) -> None:
         lvl = 1 + max(self._levels.get(x, 0), self._levels.get(y, 0),

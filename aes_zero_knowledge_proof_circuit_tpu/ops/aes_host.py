@@ -130,6 +130,25 @@ def encrypt_block_trace(blocks: np.ndarray, round_keys: np.ndarray) -> dict:
     }
 
 
+def encrypt_cbc(message: bytes | np.ndarray, key: bytes | np.ndarray,
+                iv: bytes | np.ndarray) -> np.ndarray:
+    """AES-128-CBC (the reference's roadmap item,
+    tests/integration_tests.rs:1 "should be updated to test CBC")."""
+    msg = np.frombuffer(bytes(message), np.uint8) if isinstance(
+        message, (bytes, bytearray)) else np.asarray(message, np.uint8)
+    assert msg.size % 16 == 0
+    rks = derive_round_keys(np.frombuffer(bytes(key), np.uint8) if isinstance(
+        key, (bytes, bytearray)) else np.asarray(key, np.uint8))
+    prev = np.frombuffer(bytes(iv), np.uint8) if isinstance(
+        iv, (bytes, bytearray)) else np.asarray(iv, np.uint8)
+    out = []
+    for blk in msg.reshape(-1, 16):
+        ct = encrypt_block_trace(blk ^ prev, rks)["ciphertext"]
+        out.append(ct)
+        prev = ct
+    return np.concatenate(out)
+
+
 def encrypt_ecb(message: bytes | np.ndarray, key: bytes | np.ndarray) -> np.ndarray:
     """AES-128-ECB over a multiple-of-16-byte message (src/lib.rs:194
     message.chunks(16))."""

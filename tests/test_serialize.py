@@ -1,0 +1,52 @@
+"""Serialization round-trips: proof, verifying key, SRS checkpoint."""
+
+import random
+
+import pytest
+
+from aes_zero_knowledge_proof_circuit_tpu.marlin import indexer, prover, verifier
+from aes_zero_knowledge_proof_circuit_tpu.ops import kzg
+from aes_zero_knowledge_proof_circuit_tpu.utils import serialize as ser
+
+rng = random.Random(77)
+
+
+def test_srs_save_load(tmp_path):
+    srs = kzg.setup(8, rng)
+    path = str(tmp_path / "srs.npz")
+    ser.save_srs(path, srs)
+    back = ser.load_srs(path)
+    assert back.max_degree == srs.max_degree
+    assert all(a == b for a, b in zip(back.powers_g1, srs.powers_g1))
+    assert all(a == b for a, b in zip(back.gamma_powers_g1, srs.gamma_powers_g1))
+    assert back.h == srs.h and back.tau_h == srs.tau_h
+
+
+@pytest.mark.slow
+def test_proof_and_vk_roundtrip():
+    from tests.test_marlin import build_toy_circuit
+
+    cs, assignment = build_toy_circuit()
+    na, nb, nc = cs.nnz()
+    srs = indexer.generate_universal_srs(
+        cs.num_constraints, cs.num_variables, max(na, nb, nc), rng
+    )
+    pk = indexer.index(cs, srs)
+    inst, wit = assignment(2, 3)
+    proof = prover.prove(pk, inst, wit, rng=rng, zk=True)
+
+    blob = ser.serialize_proof(proof)
+    back = ser.deserialize_proof(blob)
+    assert ser.serialize_proof(back) == blob
+
+    vk_blob = ser.serialize_vk(pk.vk)
+    vk_back = ser.deserialize_vk(vk_blob)
+    assert ser.serialize_vk(vk_back) == vk_blob
+
+    # deserialized objects verify (and tampering is caught at parse time)
+    assert verifier.verify(vk_back, inst, back)
+    corrupted = bytearray(blob)
+    corrupted[20] ^= 1
+    with pytest.raises(Exception):
+        bad = ser.deserialize_proof(bytes(corrupted))
+        assert not verifier.verify(vk_back, inst, bad)

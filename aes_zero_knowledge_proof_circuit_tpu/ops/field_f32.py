@@ -84,14 +84,17 @@ class F32Ops:
         self.ctx = ctx
         self.D = ctx.D
         n_mod = ctx.modulus
-        self.t_nprime = jnp.asarray(_toeplitz(ctx.nprime, self.D, self.D))
-        self.t_n = jnp.asarray(_toeplitz(n_mod, self.D, 2 * self.D))
-        self.mod_digits = jnp.asarray(_int_to_digits(n_mod, self.D))
-        self.two_n = jnp.asarray(_int_to_digits(2 * n_mod, self.D))
-        self.c16n = jnp.asarray(_int_to_digits(16 * n_mod, self.D))
-        self.one_mont = jnp.asarray(_int_to_digits(ctx.R_mod, self.D))
-        self.r2_digits = jnp.asarray(_int_to_digits(ctx.R2_mod, self.D))
-        self.zero = jnp.zeros((self.D,), jnp.float32)
+        # ensure_compile_time_eval: F32Ops instances are lru-cached, so the
+        # constants must be concrete even if first constructed inside a trace.
+        with jax.ensure_compile_time_eval():
+            self.t_nprime = jnp.asarray(_toeplitz(ctx.nprime, self.D, self.D))
+            self.t_n = jnp.asarray(_toeplitz(n_mod, self.D, 2 * self.D))
+            self.mod_digits = jnp.asarray(_int_to_digits(n_mod, self.D))
+            self.two_n = jnp.asarray(_int_to_digits(2 * n_mod, self.D))
+            self.c16n = jnp.asarray(_int_to_digits(16 * n_mod, self.D))
+            self.one_mont = jnp.asarray(_int_to_digits(ctx.R_mod, self.D))
+            self.r2_digits = jnp.asarray(_int_to_digits(ctx.R2_mod, self.D))
+            self.zero = jnp.zeros((self.D,), jnp.float32)
         # fold() estimate constant: top-4-digit value / (2N), as float
         self.inv_2n_scaled = float(
             (2.0 ** (8 * (self.D - 4))) / float(2 * n_mod)

@@ -62,11 +62,19 @@ class NTTEngine:
         self.log_n = log_n
         self.n = 1 << log_n
         self.ops = ops or fr_f32()
-        self._perm = jnp.asarray(_bitrev_perm(log_n))
-        self._fwd_tw = [jnp.asarray(t) for t in _stage_twiddles(log_n, False)]
-        self._inv_tw = [jnp.asarray(t) for t in _stage_twiddles(log_n, True)]
-        n_inv = inv_mod(self.n, R_MOD)
-        self._n_inv = jnp.asarray(ints_to_digits(self.ops, [n_inv])[0])
+        # ensure_compile_time_eval: engines are lru-cached, so constants must
+        # be concrete even if the first construction happens inside a trace
+        # (else cached tracers leak into later jit calls).
+        with jax.ensure_compile_time_eval():
+            self._perm = jnp.asarray(_bitrev_perm(log_n))
+            self._fwd_tw = [
+                jnp.asarray(t) for t in _stage_twiddles(log_n, False)
+            ]
+            self._inv_tw = [
+                jnp.asarray(t) for t in _stage_twiddles(log_n, True)
+            ]
+            n_inv = inv_mod(self.n, R_MOD)
+            self._n_inv = jnp.asarray(ints_to_digits(self.ops, [n_inv])[0])
         self.ntt = jax.jit(self._ntt)
         self.intt = jax.jit(self._intt)
 

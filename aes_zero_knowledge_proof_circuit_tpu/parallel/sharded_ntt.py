@@ -71,6 +71,8 @@ def ntt_sharded(
     n1, n2 = 1 << log_n1, 1 << log_n2
     n = n1 * n2
     assert coeffs.shape[0] == n
+    # Build (lru-cached) engines eagerly, outside the trace below.
+    ntt_engine(log_n1), ntt_engine(log_n2)
     tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, inverse))
 
     col_sharding = NamedSharding(mesh, P(None, axis, None))

@@ -150,12 +150,18 @@ class F32Ops:
         for j in range(D):
             t = t + jnp.pad(a * b[..., j : j + 1], pad + [(j, D - j)])
         t = self._norm(t)
+        # precision=HIGHEST: TPU f32 matmuls default to one-pass bf16, which
+        # rounds digits >= 257 (the redundant band reaches ~290 pre-norm) and
+        # silently corrupts REDC. HIGHEST (6-pass bf16 emulation) is exact for
+        # our <2^24 integer accumulations; CPU ignores the flag.
         m = jnp.dot(t[..., :D], self.t_nprime,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         m = self._norm(m)
         # keep m in [0, R): digits mod 256 only matter up to position D-1;
         # norm may push a carry into higher... trim to D digits is mod R.
-        mn = jnp.dot(m, self.t_n, preferred_element_type=jnp.float32)
+        mn = jnp.dot(m, self.t_n, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         v = self._norm(t + mn)
         carry = jnp.round(jnp.sum(v[..., :D] * self.carry_w, axis=-1))
         hi = v[..., D:]

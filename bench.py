@@ -26,18 +26,15 @@ def _bench_ntt_msm():
     import jax
     import jax.numpy as jnp
 
-    from aes_zero_knowledge_proof_circuit_tpu.ops import limbs
-    from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
-    from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import R_MOD
+    from aes_zero_knowledge_proof_circuit_tpu.ops.field_f32 import fr_f32
     from aes_zero_knowledge_proof_circuit_tpu.ops.ntt_jax import ntt_engine
 
     rng = np.random.default_rng(0)
-    ctx = fr_ops().ctx
+    F = fr_f32()
     log_n = 20
     eng = ntt_engine(log_n)
-    raw = rng.integers(0, 1 << 16, size=(eng.n, 16), dtype=np.uint32)
-    r2 = jnp.asarray(limbs.ints_to_limbs([ctx.R2_mod], 16)[0])
-    x = fr_ops().mul(jnp.asarray(raw), r2)  # reduce into the field
+    raw = rng.integers(0, 256, size=(eng.n, F.D), dtype=np.int64)
+    x = F.mul(jnp.asarray(raw, jnp.float32), F.r2_digits)  # reduce into field
     # warm-up / compile
     eng.ntt(x).block_until_ready()
     t0 = time.time()
@@ -76,35 +73,32 @@ def _bench_block_proof():
     }
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, sys
+if jax.default_backend() not in ("tpu", "axon"):
+    sys.exit(2)
+y = float((jnp.arange(64, dtype=jnp.float32) * 2).sum())
+sys.exit(0 if y == 4032.0 else 2)
+"""
+
+
 def _tpu_responsive(timeout_s: float = 90.0) -> bool:
     """Probe the accelerator with a trivial op under a hard timeout — the
     axon tunnel can be wedged by orphaned server-side work, and a wedged
-    device must not hang the benchmark driver."""
-    import multiprocessing as mp
+    device must not hang the benchmark driver. Runs in a fresh subprocess
+    (spawned via -c; a local closure is not picklable under spawn)."""
+    import subprocess
 
-    def probe(q):
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            if jax.default_backend() not in ("tpu", "axon"):
-                q.put(False)
-                return
-            y = float((jnp.arange(64, dtype=jnp.float32) * 2).sum())
-            q.put(y == 4032.0)
-        except Exception:
-            q.put(False)
-
-    ctx = mp.get_context("spawn")
-    q = ctx.Queue()
-    p = ctx.Process(target=probe, args=(q,))
-    p.start()
-    p.join(timeout_s)
-    if p.is_alive():
-        p.terminate()
-        return False
     try:
-        return bool(q.get_nowait())
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
     except Exception:
         return False
 

@@ -15,11 +15,27 @@ from .field_params import R_MOD
 
 def msm(points: Sequence[AffinePoint], scalars: Sequence[int],
         window_bits: int = 8) -> AffinePoint:
-    """sum_i scalars[i] * points[i] via windowed bucket (Pippenger) method."""
+    """sum_i scalars[i] * points[i] via windowed bucket (Pippenger) method.
+
+    Dispatches to the native C++ library (native/zkhost.cpp) when it is
+    available — the host-runtime analog of ark-ec's parallel Rust MSM — and
+    otherwise runs the pure-Python Pippenger below (itself the bit-exactness
+    oracle for both the native library and the device kernel)."""
     assert len(points) == len(scalars)
     if not points:
         return g1_infinity()
     scalars = [s % R_MOD for s in scalars]
+    if len(points) > 8:  # ctypes packing overhead beats Python above ~8 pts
+        from .. import native
+
+        fast = native.g1_msm(points, scalars)
+        if fast is not None:
+            return fast
+    return _msm_python(points, scalars, window_bits)
+
+
+def _msm_python(points: Sequence[AffinePoint], scalars: Sequence[int],
+                window_bits: int = 8) -> AffinePoint:
     max_bits = R_MOD.bit_length()
     num_windows = (max_bits + window_bits - 1) // window_bits
     window_sums: List[AffinePoint] = []

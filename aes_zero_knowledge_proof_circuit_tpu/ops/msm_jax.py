@@ -180,13 +180,49 @@ def pick_window_bits(n: int) -> int:
     return 4
 
 
+import os
+
+# Bucket-phase chunk: bounds device memory (the segmented scan keeps ~5
+# copies of the chunk live; 2^16 Jacobian f32-digit points ~ 40 MB/copy).
+# The first OOM observed was the index commit MSM at 2^18 points on a
+# 16 GB v5e — chunking trades a few extra bucket phases for a flat profile.
+MSM_CHUNK = int(os.environ.get("ZKAES_MSM_CHUNK", 1 << 16))
+
+
 def msm_device(points: JacPoint, digits16: jnp.ndarray,
                window_bits: int | None = None) -> AffinePoint:
     """MSM over device-resident points / 16-bit digit limbs; returns a host
-    affine point."""
+    affine point. Points are processed in MSM_CHUNK slices; per-window
+    bucket sums from each slice are jac_add-combined (windows batch in one
+    dispatch), keeping device memory flat in n."""
+    n = digits16.shape[0]
     if window_bits is None:
-        window_bits = pick_window_bits(digits16.shape[0])
-    wsums = _window_sums(points, digits16, window_bits)
+        window_bits = pick_window_bits(n)
+    if n > MSM_CHUNK:
+        # pad to a chunk multiple (zero digits land in the dump slot; padded
+        # points are infinity) so every chunk reuses ONE compiled scan shape
+        pad = (-n) % MSM_CHUNK
+        if pad:
+            zpad = jnp.zeros((pad,) + points.x.shape[1:], points.x.dtype)
+            points = JacPoint(
+                jnp.concatenate([points.x, zpad]),
+                jnp.concatenate([points.y, zpad]),
+                jnp.concatenate([points.z, zpad]),
+            )
+            digits16 = jnp.concatenate(
+                [digits16, jnp.zeros((pad, digits16.shape[1]), digits16.dtype)]
+            )
+        add = _add_fn()
+        wsums = None
+        for s in range(0, n + pad, MSM_CHUNK):
+            e = s + MSM_CHUNK
+            part = _window_sums(
+                JacPoint(points.x[s:e], points.y[s:e], points.z[s:e]),
+                digits16[s:e], window_bits,
+            )
+            wsums = part if wsums is None else add(wsums, part)
+    else:
+        wsums = _window_sums(points, digits16, window_bits)
     # combine windows host-side: result = sum_w 2^(c w) S_w
     window_pts = device_to_affine(wsums)
     from .curve_host import g1_infinity
@@ -229,22 +265,33 @@ class DevicePoints:
     @staticmethod
     def _from_packed(packed: np.ndarray) -> JacPoint:
         """[N, 2, 24] standard-form affine limbs -> device Jacobian digit
-        tensors (no per-point host bigint work — the SRS checkpoint path)."""
+        tensors (no per-point host bigint work — the SRS checkpoint path).
+        Converted in slices: the REDC mul's [m, 2D] temporaries would
+        otherwise transiently cost several GB at SRS scale (~1M points)."""
         from .field_f32 import fq_f32
 
         fq = fq_f32()
-        raw = jnp.asarray(packed.astype(np.uint32))
-        xd = fq.from_limb16(raw[:, 0, :])
-        yd = fq.from_limb16(raw[:, 1, :])
-        # to Montgomery form: REDC-mul standard digits by R^2
-        x = fq.mul(xd, fq.r2_digits[None, :])
-        y = fq.mul(yd, fq.r2_digits[None, :])
-        finite = jnp.logical_or(
-            jnp.any(raw[:, 0, :] != 0, axis=-1),
-            jnp.any(raw[:, 1, :] != 0, axis=-1),
-        )
-        z = jnp.where(finite[:, None], fq.one_mont[None, :], 0.0)
-        return JacPoint(x, y, z.astype(jnp.float32))
+        n = packed.shape[0]
+        step = 1 << 17
+        xs, ys, zs = [], [], []
+        for s in range(0, n, step):
+            raw = jnp.asarray(packed[s : s + step].astype(np.uint32))
+            xd = fq.from_limb16(raw[:, 0, :])
+            yd = fq.from_limb16(raw[:, 1, :])
+            # to Montgomery form: REDC-mul standard digits by R^2
+            xs.append(fq.mul(xd, fq.r2_digits[None, :]))
+            ys.append(fq.mul(yd, fq.r2_digits[None, :]))
+            finite = jnp.logical_or(
+                jnp.any(raw[:, 0, :] != 0, axis=-1),
+                jnp.any(raw[:, 1, :] != 0, axis=-1),
+            )
+            zs.append(
+                jnp.where(finite[:, None], fq.one_mont[None, :], 0.0).astype(
+                    jnp.float32
+                )
+            )
+        cat = jnp.concatenate
+        return JacPoint(cat(xs), cat(ys), cat(zs))
 
     def slice(self, start: int, length: int) -> JacPoint:
         return JacPoint(

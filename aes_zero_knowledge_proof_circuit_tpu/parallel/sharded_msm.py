@@ -45,33 +45,55 @@ def msm_sharded(
         points = JacPoint(zpad(points.x), zpad(points.y), zpad(points.z))
         digits16 = zpad(digits16)
 
-    shard = NamedSharding(mesh, P(axis, None))
-    pts = JacPoint(
-        jax.device_put(points.x, shard),
-        jax.device_put(points.y, shard),
-        jax.device_put(points.z, shard),
-    )
-    dgt = jax.device_put(digits16, shard)
-
-    def local(px, py, pz, d):
-        s = _window_sums(JacPoint(px, py, pz), d, window_bits)
-        return s.x[None], s.y[None], s.z[None]
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None, None),) * 3,
-    )
-    sx, sy, sz = fn(pts.x, pts.y, pts.z, dgt)
-    # [ndev, W] window sums -> host fold
-    per_dev = device_to_affine(
-        JacPoint(
-            sx.reshape(-1, sx.shape[-1]),
-            sy.reshape(-1, sy.shape[-1]),
-            sz.reshape(-1, sz.shape[-1]),
+    if jax.default_backend() == "tpu":
+        # one traced program over the mesh (local bucket phases, partials
+        # gathered; compile disk-cached)
+        shard = NamedSharding(mesh, P(axis, None))
+        pts = JacPoint(
+            jax.device_put(points.x, shard),
+            jax.device_put(points.y, shard),
+            jax.device_put(points.z, shard),
         )
-    )
+        dgt = jax.device_put(digits16, shard)
+
+        def local(px, py, pz, d):
+            s = _window_sums(JacPoint(px, py, pz), d, window_bits)
+            return s.x[None], s.y[None], s.z[None]
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 4,
+            out_specs=(P(axis, None, None),) * 3,
+        )
+        sx, sy, sz = fn(pts.x, pts.y, pts.z, dgt)
+        sx = sx.reshape(-1, sx.shape[-1])
+        sy = sy.reshape(-1, sy.shape[-1])
+        sz = sz.reshape(-1, sz.shape[-1])
+    else:
+        # XLA:CPU cannot compile the fully-traced bucket phase in acceptable
+        # time (see ops/msm_jax._add_fn); keep the identical sharding
+        # semantics — point shards placed per device, local window sums,
+        # host fold — but dispatch each shard's program eagerly.
+        total = points.x.shape[0]
+        shard_n = total // ndev
+        devs = list(mesh.devices.flat)
+        parts = []
+        for d in range(ndev):
+            sl = slice(d * shard_n, (d + 1) * shard_n)
+            put = lambda a: jax.device_put(a, devs[d])
+            local_pts = JacPoint(
+                put(points.x[sl]), put(points.y[sl]), put(points.z[sl])
+            )
+            parts.append(
+                _window_sums(local_pts, jax.device_put(digits16[sl], devs[d]),
+                             window_bits)
+            )
+        sx = jnp.concatenate([p.x for p in parts])
+        sy = jnp.concatenate([p.y for p in parts])
+        sz = jnp.concatenate([p.z for p in parts])
+    # [ndev * W] window sums -> host fold
+    per_dev = device_to_affine(JacPoint(sx, sy, sz))
     n_win = len(per_dev) // ndev
     acc = g1_infinity()
     for w in reversed(range(n_win)):

@@ -137,6 +137,44 @@ def jacobian_to_affine_packed(pts: JacPoint) -> np.ndarray:
     return np.stack([ax16, ay16], axis=1).astype(np.uint32)
 
 
+def generate_srs_native(max_degree: int, rng: _random.Random) -> kzg.SRS:
+    """Universal SRS via the native C++ fixed-base window ladder
+    (native/zkhost.cpp zk_g1_powers_fixed_base) — the host-runtime analog of
+    arkworks' KZG10::setup MSM (SURVEY.md §3.1). Returns None-equivalent by
+    raising if the native library is unavailable; callers fall back to
+    generate_srs_device / kzg.setup."""
+    import logging
+
+    from .. import native
+
+    log = logging.getLogger(__name__)
+    tau = rng.randrange(1, R_MOD)
+    gamma = rng.randrange(1, R_MOD)
+    g = g1_generator()
+    n = max_degree + 1
+    scalars = [1] * n
+    for i in range(1, n):
+        scalars[i] = scalars[i - 1] * tau % R_MOD
+    log.info("native SRS: %d fixed-base powers", n)
+    packed = native.g1_powers_fixed_base_packed(g, scalars)
+    if packed is None:
+        raise RuntimeError("native zkhost library unavailable")
+    powers = PackedPowers(packed)
+    assert powers[0] == g and powers[1] == g.mul_scalar(tau)
+    gamma_g = g.mul_scalar(gamma)
+    gamma_powers = [gamma_g]
+    for _ in range(kzg.HIDING_POWERS):
+        gamma_powers.append(gamma_powers[-1].mul_scalar(tau))
+    h = g2_generator()
+    return kzg.SRS(
+        max_degree=max_degree,
+        powers_g1=powers,
+        gamma_powers_g1=gamma_powers,
+        h=h,
+        tau_h=h.mul_scalar(tau),
+    )
+
+
 def generate_srs_device(max_degree: int, rng: _random.Random,
                         chunk: int = 1 << 16) -> kzg.SRS:
     """Universal SRS with device fixed-base ladder, host-equivalent output."""

@@ -222,7 +222,10 @@ def deserialize_vk(data: bytes) -> MarlinVerifyingKey:
 
 def save_srs(path: str, srs: kzg.SRS) -> None:
     """Checkpoint the SRS to disk as packed limb arrays (.npz)."""
-    def pack(points: List[AffinePoint]) -> np.ndarray:
+    def pack(points) -> np.ndarray:
+        packed = getattr(points, "packed", None)
+        if packed is not None:  # PackedPowers: already in checkpoint layout
+            return packed
         out = np.zeros((len(points), 2, 24), np.uint32)
         for i, p in enumerate(points):
             if p.inf:
@@ -268,9 +271,13 @@ def load_srs(path: str) -> kzg.SRS:
 
     h = _r_g2(io.BytesIO(d["h"].tobytes()))
     tau_h = _r_g2(io.BytesIO(d["tau_h"].tobytes()))
+    # big power tables stay packed (lazy AffinePoint view — avoids
+    # materializing ~1M host bigint points at load time)
+    from ..parallel.srs_gen import PackedPowers
+
     return kzg.SRS(
         max_degree=int(d["max_degree"]),
-        powers_g1=unpack(d["powers"]),
+        powers_g1=PackedPowers(np.ascontiguousarray(d["powers"])),
         gamma_powers_g1=unpack(d["gamma_powers"]),
         h=h,
         tau_h=tau_h,

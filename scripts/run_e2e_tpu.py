@@ -11,8 +11,11 @@ Run:  python scripts/run_e2e_tpu.py [msg_len]
 """
 
 import logging
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 log = logging.getLogger("e2e")

@@ -22,6 +22,13 @@ _API_SYMBOLS = (
     "generate_rand",
     "deserialize_proof",
     "Fr",
+    # typed error tier (reference src/helpers/traits.rs:4-20)
+    "ZkAesError",
+    "SynthesisError",
+    "InvalidInputError",
+    "CapacityError",
+    "SerializationError",
+    "ProofError",
 )
 
 __all__ = list(_API_SYMBOLS) + ["api", "__version__"]

@@ -30,10 +30,26 @@ from .models.aes_circuit import Template, build_template
 from .ops import kzg
 from .ops.field_params import R_MOD
 from .utils.config import CONFIG
+from .utils.errors import (
+    CapacityError,
+    InvalidInputError,
+    ProofError,
+    SerializationError,
+    SynthesisError,
+    ZkAesError,
+    require,
+)
 from .utils.rng import generate_rand
 from .utils.serialize import deserialize_proof, load_srs, save_srs, serialize_proof
 
 Fr = R_MOD  # the scalar-field modulus (reference re-exports the Fr type)
+
+__all__ = [
+    "synthesize_keys", "encrypt", "verify_encryption", "compute_ciphertext",
+    "bits_lsb_first", "generate_rand", "deserialize_proof", "serialize_proof",
+    "Fr", "ZkAesError", "SynthesisError", "InvalidInputError",
+    "CapacityError", "SerializationError", "ProofError",
+]
 
 log = logging.getLogger(__name__)
 
@@ -86,6 +102,14 @@ def synthesize_keys(
     capacity 866_944/513/4_062_064 at src/lib.rs:141); it is generated once
     and checkpointed to disk (SURVEY.md §5). mode="cbc" enables the chained
     block cipher variant (reference roadmap, tests/integration_tests.rs:1)."""
+    require(
+        plaintext_length > 0 and plaintext_length % 16 == 0,
+        InvalidInputError,
+        f"plaintext_length must be a positive multiple of 16, got "
+        f"{plaintext_length}",
+    )
+    require(mode in ("ecb", "cbc"), InvalidInputError,
+            f"mode must be 'ecb' or 'cbc', got {mode!r}")
     rng = rng or generate_rand()
     tpl = _template_cached(plaintext_length, mode)
     na, nb, nc = tpl.r1cs.nnz()
@@ -135,9 +159,20 @@ def encrypt(
     engine, not by re-synthesizing the circuit. CBC templates require iv."""
     rng = rng or generate_rand()
     tpl = proving_key.template
-    assert len(message) == tpl.msg_len, "message length must match the key"
-    assert len(secret_key) == 16
-    assert (tpl.mode == "cbc") == (iv is not None), "iv iff cbc mode"
+    require(
+        len(message) == tpl.msg_len,
+        InvalidInputError,
+        f"message is {len(message)} bytes; the proving key was synthesized "
+        f"for {tpl.msg_len}",
+    )
+    require(len(secret_key) == 16, InvalidInputError,
+            "secret_key must be exactly 16 bytes (AES-128)")
+    if tpl.mode == "cbc":
+        require(iv is not None and len(iv) == 16, InvalidInputError,
+                "CBC proving keys require a 16-byte iv")
+    else:
+        require(iv is None, InvalidInputError,
+                "iv given but the proving key is for ECB mode")
     z = _witness_bits(tpl, message, secret_key, proving_key.backend, iv=iv)
     instance = [1] + [int(v) for v in z[1 : tpl.r1cs.num_instance]]
     witness = z[tpl.r1cs.num_instance :]
@@ -192,6 +227,12 @@ def verify_encryption(
 ) -> bool:
     """src/lib.rs:116-136: ciphertext bytes -> LSB-first bit field elements
     -> Marlin verify. For CBC, the public input is [1] + iv bits + ct bits."""
+    require(len(ciphertext) % 16 == 0 and len(ciphertext) > 0,
+            InvalidInputError,
+            f"ciphertext must be a positive multiple of 16 bytes, got "
+            f"{len(ciphertext)}")
+    if iv is not None:
+        require(len(iv) == 16, InvalidInputError, "iv must be 16 bytes")
     instance = [1]
     if iv is not None:
         instance += bits_lsb_first(iv)

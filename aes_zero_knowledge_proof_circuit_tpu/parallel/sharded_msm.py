@@ -89,9 +89,13 @@ def msm_sharded(
                 _window_sums(local_pts, jax.device_put(digits16[sl], devs[d]),
                              window_bits)
             )
-        sx = jnp.concatenate([p.x for p in parts])
-        sy = jnp.concatenate([p.y for p in parts])
-        sz = jnp.concatenate([p.z for p in parts])
+        # per-device partials live on different devices; pull each to host
+        # before combining (a direct jnp.concatenate raises
+        # "Received incompatible devices")
+        host = [jax.device_get((p.x, p.y, p.z)) for p in parts]
+        sx = jnp.asarray(np.concatenate([h[0] for h in host]))
+        sy = jnp.asarray(np.concatenate([h[1] for h in host]))
+        sz = jnp.asarray(np.concatenate([h[2] for h in host]))
     # [ndev * W] window sums -> host fold
     per_dev = device_to_affine(JacPoint(sx, sy, sz))
     n_win = len(per_dev) // ndev

@@ -117,7 +117,8 @@ def synthesize_keys(
         tpl.r1cs.num_constraints, tpl.r1cs.num_variables, max(na, nb, nc)
     )
     if srs is None:
-        srs_path = CONFIG.srs_dir / f"srs_bls377_d{need}.npz"
+        # v2: standard ark-bls12-377 generators (SRS depends on the G1 base)
+        srs_path = CONFIG.srs_dir / f"srs_bls377_v2_d{need}.npz"
         if srs_path.exists():
             log.info("loading SRS checkpoint %s", srs_path)
             srs = load_srs(str(srs_path))

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import random as _random
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 from ..models.r1cs import R1CS
 from ..ops import kzg

@@ -16,7 +16,7 @@ plus the masking polynomial s(X) with sum_H s = 0.
 from __future__ import annotations
 
 import random as _random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 from ..ops import kzg
@@ -32,7 +32,7 @@ from ..ops.poly_host import (
     poly_trim,
 )
 from ..utils.transcript import Transcript
-from .indexer import MarlinProvingKey, MatrixIndex
+from .indexer import MarlinProvingKey
 
 
 @dataclass

@@ -24,9 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import kzg, msm_host, poly_jax as P
-from ..ops.curve_host import AffinePoint
 from ..ops.field_f32 import digits_to_ints, fr_f32, ints_to_digits
-from ..ops.field_params import R_MOD, inv_mod, root_of_unity
+from ..ops.field_params import R_MOD, inv_mod
 from ..ops.msm_jax import DevicePoints, msm_device
 from ..ops.poly_host import domain, poly_div_linear
 from ..utils.transcript import Transcript

@@ -23,7 +23,7 @@ mirroring ark's Boolean::{Constant, Is, Not}.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..ops.field_params import R_MOD
 from .r1cs import LC, R1CS

@@ -15,7 +15,6 @@ import numpy as np
 from ..models.gadgets import Synth, word_xor
 from ..models.r1cs import R1CS
 from ..models.witness_plan import CompiledPlan
-from .aes_circuit import ripple_add
 
 
 def build_u32_xor() -> Tuple[R1CS, CompiledPlan]:

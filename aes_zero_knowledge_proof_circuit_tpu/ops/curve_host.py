@@ -7,15 +7,18 @@ ark-bls12-377 in the reference stack (SURVEY.md §2b).
 G1: y^2 = x^3 + 1 over Fq,           order = H1_COFACTOR * r
 G2: y^2 = x^3 + B2 over Fq2 (sextic twist), subgroup of order r
 
-Generators are derived deterministically (smallest-x point, cleared by the
-cofactor); the stack is self-consistent so it does not need arkworks' exact
-generator constants.
+Generators are the STANDARD ark-bls12-377 constants (the reference proves
+over exactly these groups — src/lib.rs:47 `pub use ark_bls12_377::Fr`,
+Cargo.lock:118), embedded below and known-answer-tested in
+tests/test_curve_pairing_host.py: on-curve, order r, bilinear pairing.
+The deterministic derivation (smallest-x, cofactor-cleared) is kept as
+`derived_g1_generator` for the structural cross-check.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Generic, Optional, Tuple, TypeVar
+from typing import Generic, Tuple, TypeVar
 
 from .field_host import XI, Fq2, Fq12
 from .field_params import (
@@ -191,10 +194,23 @@ def g1_infinity() -> AffinePoint:
     return AffinePoint.infinity(FQ_FIELD, G1_B)
 
 
+# Standard ark-bls12-377 G1 generator (curves/bls12_377/src/curves/g1.rs
+# G1_GENERATOR_X/Y; reference depends on these via Cargo.lock:118).
+# Known-answer-tested: on-curve and r * G == infinity.
+G1_GENERATOR_X = 81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695
+G1_GENERATOR_Y = 241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030
+
+
 @functools.lru_cache(maxsize=None)
 def g1_generator() -> AffinePoint:
-    """Deterministic G1 generator: smallest x with x^3+1 square, even y,
-    cleared by the cofactor h1 = (u-1)^2/3 into the r-order subgroup."""
+    """The standard ark-bls12-377 G1 generator."""
+    return g1_point(G1_GENERATOR_X, G1_GENERATOR_Y)
+
+
+@functools.lru_cache(maxsize=None)
+def derived_g1_generator() -> AffinePoint:
+    """Structural cross-check generator: smallest x with x^3+1 square, even
+    y, cleared by the cofactor h1 = (u-1)^2/3 into the r-order subgroup."""
     x = 0
     while True:
         x += 1
@@ -285,8 +301,27 @@ def g2_infinity() -> AffinePoint:
     return AffinePoint.infinity(FQ2_FIELD, g2_curve_b())
 
 
+# Standard ark-bls12-377 G2 generator (curves/bls12_377/src/curves/g2.rs
+# G2_GENERATOR_X/Y_C0/C1). The empirically-determined twist above equals
+# arkworks' (B2 = Fq2(0, 1553...906) = 1/XI); known-answer-tested.
+G2_GENERATOR_X_C0 = 233578398248691099356572568220835526895379068987715365179118596935057653620464273615301663571204657964920925606294
+G2_GENERATOR_X_C1 = 140913150380207355837477652521042157274541796891053068589147167627541651775299824604154852141315666357241556069118
+G2_GENERATOR_Y_C0 = 63160294768292073209381361943935198908131692476676907196754037919244929611450776219210369229519898517858833747423
+G2_GENERATOR_Y_C1 = 149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491
+
+
 @functools.lru_cache(maxsize=None)
 def g2_generator() -> AffinePoint:
+    """The standard ark-bls12-377 G2 generator."""
+    return g2_point(
+        Fq2(G2_GENERATOR_X_C0, G2_GENERATOR_X_C1),
+        Fq2(G2_GENERATOR_Y_C0, G2_GENERATOR_Y_C1),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def derived_g2_generator() -> AffinePoint:
+    """Structural cross-check: cofactor-cleared deterministic twist point."""
     b2 = g2_curve_b()
     cof = g2_cofactor()
     for seed in range(32):

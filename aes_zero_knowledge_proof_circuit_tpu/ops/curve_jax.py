@@ -16,14 +16,12 @@ Bit-exact against ops/curve_host.AffinePoint (tests/test_msm_jax.py).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .curve_host import AffinePoint, g1_infinity, g1_point
+from .curve_host import g1_infinity, g1_point
 from .field_f32 import F32Ops, digits_to_ints, fq_f32, ints_to_digits
 
 

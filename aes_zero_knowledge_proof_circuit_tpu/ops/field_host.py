@@ -10,7 +10,7 @@ Tower (matching the arkworks layout the reference depends on, SURVEY.md §2b):
     Fq12 = Fq6[w] / (w^2 - v)
 
 Elements are plain Python ints (Fq) or small tuples of them; all hot math on
-TPU uses the limb kernels in field_jax.py instead.
+TPU uses the f32-digit engine in field_f32.py instead.
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ verifier checks shifted_eval == beta^(D-d) * eval.
 from __future__ import annotations
 
 import random as _random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
 from .curve_host import (
@@ -27,7 +27,6 @@ from .curve_host import (
     g1_generator,
     g1_infinity,
     g2_generator,
-    g2_infinity,
 )
 from .field_params import R_MOD
 from .msm_host import msm as _host_msm

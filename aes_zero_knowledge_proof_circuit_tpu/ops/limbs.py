@@ -1,18 +1,19 @@
 """Host <-> limb-tensor conversions for TPU field elements.
 
-TPU has no int64, so field elements are [..., L] uint32 tensors holding
-16-bit limbs (little-endian), L=16 for Fr (253-bit), L=24 for Fq (377-bit)
-(SURVEY.md §7 step 1). This module is the numpy boundary; all device math
-lives in field_jax.py.
+TPU has no int64, so field elements cross the host<->device boundary as
+[..., L] uint32 tensors holding 16-bit limbs (little-endian), L=16 for Fr
+(253-bit), L=24 for Fq (377-bit) (SURVEY.md §7 step 1). This module is the
+numpy boundary; all device math lives in the f32-digit engine
+(field_f32.py).
 """
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
-from .field_params import LIMB_BITS, LIMB_MASK, MontgomeryCtx
+from .field_params import LIMB_BITS, MontgomeryCtx
 
 
 def ints_to_limbs(values: Sequence[int], n_limbs: int) -> np.ndarray:

@@ -23,7 +23,7 @@ in parallel/sharded_msm.py.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import numpy as np
 
 from .curve_host import AffinePoint
 from .curve_jax import JacPoint, affine_to_device, device_to_affine, jac_add, jac_infinity
-from .field_jax import fq_ops, fr_ops
 from .field_params import FR_LIMBS, R_MOD
 from .limbs import ints_to_limbs
 

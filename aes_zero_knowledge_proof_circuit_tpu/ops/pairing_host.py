@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from .curve_host import FQ12_FIELD, AffinePoint, untwist
 from .field_host import Fq12
-from .field_params import Q_MOD, R_MOD, U
+from .field_params import Q_MOD, U
 
 
 def _line(r: AffinePoint, s: AffinePoint, p: AffinePoint) -> Fq12:
@@ -67,7 +67,7 @@ def miller_loop(p_g1: AffinePoint, q_g2: AffinePoint) -> Fq12:
 
 import functools
 
-from .field_host import XI, Fq2, Fq6
+from .field_host import XI, Fq6
 
 
 @functools.lru_cache(maxsize=None)

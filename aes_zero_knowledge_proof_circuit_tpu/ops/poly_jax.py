@@ -9,14 +9,10 @@ on the hot path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .field_f32 import fr_f32, ints_to_digits
-from .field_params import R_MOD
 from .ntt_jax import ntt_engine
 
 F = fr_f32()

@@ -10,8 +10,7 @@ program (~10^5 bits in a few ms).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

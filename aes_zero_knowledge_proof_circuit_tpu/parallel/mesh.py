@@ -9,7 +9,6 @@ axis shards MSM points, NTT columns, and independent block proofs
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

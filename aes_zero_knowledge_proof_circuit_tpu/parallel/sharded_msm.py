@@ -8,7 +8,6 @@ point shard; the tiny [windows] point outputs are combined host-side
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

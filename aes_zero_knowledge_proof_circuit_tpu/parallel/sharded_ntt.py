@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import poly_jax as PJ
 from ..ops.field_f32 import fr_f32, ints_to_digits
 from ..ops.field_params import R_MOD, inv_mod, root_of_unity
 from ..ops.ntt_jax import ntt_engine

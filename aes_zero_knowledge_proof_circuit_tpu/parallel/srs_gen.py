@@ -15,7 +15,6 @@ generation is the expensive restartable step worth checkpointing").
 
 from __future__ import annotations
 
-import math
 import random as _random
 from typing import List
 
@@ -28,7 +27,7 @@ from ..ops.curve_host import AffinePoint, g1_generator, g1_infinity, g1_point, g
 from ..ops.curve_jax import JacPoint, jac_add
 from ..ops.field_f32 import fq_f32
 
-from ..ops.field_params import Q_MOD, R_MOD, inv_mod
+from ..ops.field_params import R_MOD
 
 from ..ops import poly_jax as P
 

@@ -8,7 +8,7 @@ compilation cache, artifact cache directory, mesh shape.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 _DEF_CACHE = os.environ.get(

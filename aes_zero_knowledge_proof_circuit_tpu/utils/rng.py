@@ -51,7 +51,11 @@ class HashDRBG(random.Random):
         pass
 
 
-def generate_rand(seed: Optional[bytes] = None) -> HashDRBG:
+def generate_rand(seed: Optional[bytes | int | str] = None) -> HashDRBG:
     """Reference API analog: simpleworks::marlin::generate_rand
-    (re-exported at src/lib.rs:52)."""
+    (re-exported at src/lib.rs:52). Accepts bytes, int, or str seeds."""
+    if isinstance(seed, int):
+        seed = seed.to_bytes(32, "little", signed=False)
+    elif isinstance(seed, str):
+        seed = hashlib.blake2s(seed.encode()).digest()
     return HashDRBG(seed)

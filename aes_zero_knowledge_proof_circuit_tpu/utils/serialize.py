@@ -5,12 +5,16 @@ Reference analogs: ark-serialize canonical bytes + the re-exported
 checkpoint/resume gap called out in SURVEY.md §5 ("SRS generation is the
 expensive restartable step worth checkpointing").
 
-Format (version-tagged, little-endian):
-    Fr        : 32 bytes LE
-    Fq        : 48 bytes LE
-    G1 point  : 1 flag byte (0 = infinity, 1 = affine) + 48 + 48
-    G2 point  : 1 flag byte + 2*48 + 2*48 (Fq2 c0, c1 per coordinate)
+Format (version-tagged):
+    Fr        : 32 bytes LE (ark-canonical)
+    G1 point  : 48 bytes, ark-serialize 0.3 compressed (x + SWFlags in the
+                last byte) — see utils/ark_serialize.py
+    G2 point  : 96 bytes, ark compressed (Fq2 x, flags in c1's last byte)
     lists     : u32 length prefix
+
+v2 switched the point encodings to ark-canonical compressed (VERDICT round-1
+item 7); the container structure (magic, version, field order) remains
+self-defined — documented gap vs full ark-marlin Proof layout.
 """
 
 from __future__ import annotations
@@ -24,82 +28,38 @@ import numpy as np
 from ..marlin.indexer import MarlinVerifyingKey
 from ..marlin.prover import MarlinProof
 from ..ops import kzg
-from ..ops.curve_host import (
-    AffinePoint,
-    FQ2_FIELD,
-    g1_infinity,
-    g1_point,
-    g2_curve_b,
-    g2_infinity,
-)
-from ..ops.field_host import Fq2
+from ..ops.curve_host import AffinePoint, g1_infinity, g1_point
+from . import ark_serialize as ark
 
 MAGIC = b"ZKAESTPU"
-VERSION = 1
+VERSION = 2
 
 
 # -- primitives -------------------------------------------------------------
 
 
 def _w_fr(b: BinaryIO, v: int) -> None:
-    b.write(int(v).to_bytes(32, "little"))
+    b.write(ark.fr_to_bytes(v))
 
 
 def _r_fr(b: BinaryIO) -> int:
-    return int.from_bytes(b.read(32), "little")
-
-
-def _w_fq(b: BinaryIO, v: int) -> None:
-    b.write(int(v).to_bytes(48, "little"))
-
-
-def _r_fq(b: BinaryIO) -> int:
-    return int.from_bytes(b.read(48), "little")
+    return ark.fr_from_bytes(b.read(32))
 
 
 def _w_g1(b: BinaryIO, p: AffinePoint) -> None:
-    if p.inf:
-        b.write(b"\x00")
-        b.write(b"\x00" * 96)
-    else:
-        b.write(b"\x01")
-        _w_fq(b, p.x)
-        _w_fq(b, p.y)
+    b.write(ark.g1_compressed(p))
 
 
 def _r_g1(b: BinaryIO) -> AffinePoint:
-    flag = b.read(1)[0]
-    x = _r_fq(b)
-    y = _r_fq(b)
-    if flag == 0:
-        return g1_infinity()
-    p = g1_point(x, y)
-    if not p.is_on_curve():
-        raise ValueError("G1 point not on curve")
-    return p
+    return ark.g1_from_compressed(b.read(48))
 
 
 def _w_g2(b: BinaryIO, p: AffinePoint) -> None:
-    if p.inf:
-        b.write(b"\x00")
-        b.write(b"\x00" * 192)
-    else:
-        b.write(b"\x01")
-        for c in (p.x, p.y):
-            _w_fq(b, c.c0)
-            _w_fq(b, c.c1)
+    b.write(ark.g2_compressed(p))
 
 
 def _r_g2(b: BinaryIO) -> AffinePoint:
-    flag = b.read(1)[0]
-    vals = [_r_fq(b) for _ in range(4)]
-    if flag == 0:
-        return g2_infinity()
-    p = AffinePoint(Fq2(vals[0], vals[1]), Fq2(vals[2], vals[3]),
-                    FQ2_FIELD, g2_curve_b())
-    if not p.is_on_curve():
-        raise ValueError("G2 point not on curve")
-    return p
+    return ark.g2_from_compressed(b.read(96))
 
 
 def _w_u32(b: BinaryIO, v: int) -> None:

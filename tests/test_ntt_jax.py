@@ -32,16 +32,14 @@ def test_ntt_matches_host(log_n):
     assert back == coeffs
 
 
-def test_batch_inv_uint32_engine():
-    """The uint32 limb engine stays as the integer reference path."""
-    from aes_zero_knowledge_proof_circuit_tpu.ops import limbs
-    from aes_zero_knowledge_proof_circuit_tpu.ops.field_jax import fr_ops
+def test_batch_inv_f32_engine():
+    """Batched inversion on the f32-digit engine (0 maps to 0)."""
+    import jax.numpy as jnp
 
-    ops = fr_ops()
-    ctx = ops.ctx
+    ops = fr_f32()
     vals = [0] + [rng.randrange(1, R_MOD) for _ in range(31)]
-    a = limbs.to_mont(ctx, vals)
-    got = limbs.from_mont(ctx, np.asarray(ops.batch_inv(a)))
+    a = jnp.asarray(ints_to_digits(ops, vals))
+    got = digits_to_ints(ops, ops.batch_inv(a))
     assert got[0] == 0
     for v, g in zip(vals[1:], got[1:]):
         assert v * g % R_MOD == 1

@@ -191,6 +191,87 @@ def encrypt(
     )
 
 
+def encrypt_batch(
+    messages: List[bytes],
+    secret_key: bytes,
+    proving_key: AESProvingKey,
+    rng=None,
+    zk: bool = True,
+    mesh=None,
+) -> List[MarlinProof]:
+    """Prove N independent messages under one key (BASELINE config #3:
+    batched independent proofs).
+
+    The witness fill is vmapped over the batch on device — sharded over
+    `mesh`'s first axis when a jax.sharding.Mesh is given (data parallelism
+    over blocks; ECB blocks/messages are independent, reference analog
+    src/lib.rs:194 `message.chunks(16)`). Proofs are then generated per
+    message from the precomputed witness columns; each verifies
+    independently against its own ciphertext."""
+    require(len(messages) > 0, InvalidInputError, "empty message batch")
+    tpl = proving_key.template
+    require(tpl.mode == "ecb", InvalidInputError,
+            "encrypt_batch supports ECB proving keys (CBC chains blocks)")
+    for m in messages:
+        require(len(m) == tpl.msg_len, InvalidInputError,
+                f"every message must be {tpl.msg_len} bytes")
+    require(len(secret_key) == 16, InvalidInputError,
+            "secret_key must be exactly 16 bytes (AES-128)")
+    rng = rng or generate_rand()
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.witness_jax import evaluator_for
+
+    ev = evaluator_for(tpl.plan)
+    batch = len(messages)
+    mb = np.stack(
+        [np.asarray(bits_lsb_first(m), np.int32) for m in messages]
+    )
+    kb = np.tile(
+        np.asarray(bits_lsb_first(secret_key), np.int32), (batch, 1)
+    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        pad = (-batch) % mesh.devices.size
+        if pad:
+            mb = np.concatenate([mb, np.zeros((pad, mb.shape[1]), mb.dtype)])
+            kb = np.concatenate([kb, np.tile(kb[:1], (pad, 1))])
+        sharding = NamedSharding(mesh, P(axis, None))
+        mb = jax.device_put(mb, sharding)
+        kb = jax.device_put(kb, sharding)
+    zs = np.asarray(
+        jax.jit(jax.vmap(lambda m, k: ev._evaluate(
+            {"message": m, "key": k})))(jnp.asarray(mb), jnp.asarray(kb))
+    )[:batch]
+
+    proofs: List[MarlinProof] = []
+    for i in range(batch):
+        z = zs[i]
+        instance = [1] + [int(v) for v in z[1 : tpl.r1cs.num_instance]]
+        witness = z[tpl.r1cs.num_instance :]
+        if proving_key.backend == "jax":
+            from .marlin.prover_jax import JaxProver
+
+            if proving_key._jax_prover is None:
+                proving_key._jax_prover = JaxProver(proving_key.marlin_pk)
+            proofs.append(
+                proving_key._jax_prover.prove(instance, witness, rng=rng,
+                                              zk=zk)
+            )
+        else:
+            from .marlin import prover as _prover
+
+            proofs.append(
+                _prover.prove(proving_key.marlin_pk, instance,
+                              [int(v) for v in witness], rng=rng, zk=zk)
+            )
+    return proofs
+
+
 def _witness_bits(tpl: Template, message: bytes, key: bytes,
                   backend: str, iv: Optional[bytes] = None) -> np.ndarray:
     inputs = {

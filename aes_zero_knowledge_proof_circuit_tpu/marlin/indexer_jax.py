@@ -51,7 +51,19 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
     for w in range(r1cs.num_witness):
         var_to_slot[r1cs.num_instance + w] = free_slots[w]
 
-    srs_dev = DevicePoints(srs.powers_g1)
+    # commit backend: native OpenMP Pippenger over the packed SRS when
+    # available (no 600MB device upload), else device MSM
+    import os as _os
+
+    from .. import native as _native
+
+    srs_packed = getattr(srs.powers_g1, "packed", None)
+    native_commits = (
+        _os.environ.get("ZKAES_COMMIT_BACKEND", "native") == "native"
+        and _native.available()
+        and srs_packed is not None
+    )
+    srs_dev = None if native_commits else DevicePoints(srs.powers_g1)
     h_pows = P.powers(P.scalar(h.omega), n)
     n_inv = P.scalar(inv_mod(n, R_MOD))
 
@@ -88,6 +100,12 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
             from .prover_jax import to_msm_digits
 
             digits = to_msm_digits(coeffs)
+            if native_commits:
+                pt = _native.g1_msm_packed(
+                    srs_packed[: digits.shape[0]],
+                    _native.limbs16_to_u64(np.asarray(digits)),
+                )
+                return kzg.Commitment(pt)
             return kzg.Commitment(
                 msm_device(srs_dev.slice(0, digits.shape[0]), digits)
             )

@@ -175,6 +175,56 @@ def g1_powers_fixed_base_packed(base, scalars: Sequence[int]):
     return packed
 
 
+def limbs16_to_u64(limbs16: np.ndarray) -> np.ndarray:
+    """[N, 16] uint32 16-bit limbs (Fr canonical) -> [N, 4] u64 (vectorized).
+
+    The device boundary layout (F32Ops.to_canonical_limbs) -> the native
+    scalar layout, with no per-element Python work."""
+    l = limbs16.astype(np.uint64)
+    out = np.zeros((l.shape[0], 4), np.uint64)
+    for k in range(4):
+        out[:, k] = (
+            l[:, 4 * k]
+            | (l[:, 4 * k + 1] << 16)
+            | (l[:, 4 * k + 2] << 32)
+            | (l[:, 4 * k + 3] << 48)
+        )
+    return out
+
+
+def g1_msm_packed(packed: np.ndarray, scalars_u64: np.ndarray,
+                  window_bits: int = 0):
+    """Pippenger MSM over [N, 2, 24] u32 16-bit-limb packed affine points
+    (the SRS checkpoint layout) with [N, 4] u64 scalars. OpenMP windows.
+    Returns AffinePoint or None when the native library is unavailable."""
+    cdll = lib()
+    if cdll is None or packed.shape[0] == 0:
+        return None
+    from ..ops.curve_host import g1_infinity, g1_point
+    from ..ops.field_params import Q_MOD, inv_mod
+
+    packed = np.ascontiguousarray(packed.astype(np.uint32))
+    scalars_u64 = np.ascontiguousarray(scalars_u64.astype(np.uint64))
+    out = np.zeros(18, np.uint64)
+    rc = cdll.zk_g1_msm_limb16(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        scalars_u64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_size_t(packed.shape[0]),
+        ctypes.c_int(window_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        return None
+    z = _limbs_to_int(out[12:18])
+    if z == 0:
+        return g1_infinity()
+    zinv = inv_mod(z, Q_MOD)
+    zinv2 = zinv * zinv % Q_MOD
+    x = _limbs_to_int(out[0:6]) * zinv2 % Q_MOD
+    y = _limbs_to_int(out[6:12]) * zinv2 * zinv % Q_MOD
+    return g1_point(x, y)
+
+
 def g1_scale_base(base, scalars: Sequence[int]):
     """[s * base for s in scalars] as affine points, or None."""
     cdll = lib()

@@ -504,6 +504,76 @@ int zk_g1_batch_normalize(const u64 *jac, size_t n, u64 *out) {
   return 0;
 }
 
+// Pippenger MSM over 16-bit-limb packed affine points (the SRS checkpoint /
+// device boundary layout: n * 2 * 24 u32 little-endian 16-bit limbs; all-
+// zero rows = infinity). Windows run under OpenMP — this is the prover's
+// commit MSM entry (ark-ec VariableBaseMSM analog) while the Pallas device
+// path matures. c = window bits (0 = auto).
+int zk_g1_msm_limb16(const uint32_t *packed, const u64 *scalars, size_t n,
+                     int c, u64 *out) {
+  const int SCALAR_BITS = 253;
+  if (c <= 0) c = window_bits(n);
+  int nwin = (SCALAR_BITS + c - 1) / c;
+  size_t nbuckets = ((size_t)1 << c) - 1;
+
+  std::vector<Fq> px(n), py(n);
+  std::vector<uint8_t> inf(n);
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < (long)n; i++) {
+    const uint32_t *pp = packed + (size_t)i * 48;
+    bool zero = true;
+    for (int k = 0; k < 48 && zero; k++)
+      if (pp[k]) zero = false;
+    inf[i] = zero ? 1 : 0;
+    if (zero) continue;
+    u64 limbs[12];
+    for (int w = 0; w < 12; w++) {
+      u64 v = 0;
+      for (int t = 3; t >= 0; t--)
+        v = (v << 16) | (u64)(pp[w * 4 + t] & 0xFFFF);
+      limbs[w] = v;
+    }
+    px[i] = fq_from_canonical(limbs);
+    py[i] = fq_from_canonical(limbs + 6);
+  }
+
+  std::vector<G1> winsums(nwin);
+#pragma omp parallel for schedule(dynamic)
+  for (int w = 0; w < nwin; w++) {
+    std::vector<G1> buckets(nbuckets);
+    for (size_t b = 0; b < nbuckets; b++) buckets[b] = g1_infinity();
+    int bit0 = w * c;
+    for (size_t i = 0; i < n; i++) {
+      if (inf[i]) continue;
+      int limb = bit0 >> 6, off = bit0 & 63;
+      u64 frag = scalars[4 * i + limb] >> off;
+      if (off + c > 64 && limb + 1 < 4)
+        frag |= scalars[4 * i + limb + 1] << (64 - off);
+      frag &= ((u64)1 << c) - 1;
+      if (frag)
+        buckets[frag - 1] = g1_add_affine(buckets[frag - 1], px[i], py[i]);
+    }
+    G1 running = g1_infinity(), windowsum = g1_infinity();
+    for (size_t b = nbuckets; b-- > 0;) {
+      running = g1_add(running, buckets[b]);
+      windowsum = g1_add(windowsum, running);
+    }
+    winsums[w] = windowsum;
+  }
+
+  G1 total = g1_infinity();
+  for (int w = nwin - 1; w >= 0; w--) {
+    if (w != nwin - 1)
+      for (int k = 0; k < c; k++) total = g1_double(total);
+    total = g1_add(total, winsums[w]);
+  }
+  fq_to_canonical(total.x, out);
+  fq_to_canonical(total.y, out + 6);
+  fq_to_canonical(g1_is_inf(total) ? Fq{{0, 0, 0, 0, 0, 0}} : total.z,
+                  out + 12);
+  return 0;
+}
+
 int zk_version() { return 1; }
 
 }  // extern "C"

@@ -191,10 +191,24 @@ MSM_CHUNK = int(os.environ.get("ZKAES_MSM_CHUNK", 1 << 16))
 def msm_device(points: JacPoint, digits16: jnp.ndarray,
                window_bits: int | None = None) -> AffinePoint:
     """MSM over device-resident points / 16-bit digit limbs; returns a host
-    affine point. Points are processed in MSM_CHUNK slices; per-window
-    bucket sums from each slice are jac_add-combined (windows batch in one
-    dispatch), keeping device memory flat in n."""
+    affine point.
+
+    Default path: the fully-traced single-dispatch program in msm_fused.py
+    (one XLA launch per MSM; compile disk-cached per shape). Set
+    ZKAES_MSM_FUSED=0 to fall back to the eager per-level dispatch
+    formulation below (kept for platforms where the fused compile is
+    unacceptable)."""
     n = digits16.shape[0]
+    # fused is opt-in until its XLA:TPU compile pathology (scatter inside
+    # fori_loop: >20 min remote compiles) is replaced by the Pallas bucket
+    # kernel; correctness is proven on CPU (tests/test_msm_fused.py)
+    use_fused = os.environ.get("ZKAES_MSM_FUSED") == "1"
+    if use_fused:
+        from .msm_fused import fused_window_sums
+
+        wb = 8 if n >= 256 else 4
+        wsums = fused_window_sums(points, digits16, wb)
+        return _fold_windows(wsums, wb)
     if window_bits is None:
         window_bits = pick_window_bits(n)
     if n > MSM_CHUNK:
@@ -222,7 +236,11 @@ def msm_device(points: JacPoint, digits16: jnp.ndarray,
             wsums = part if wsums is None else add(wsums, part)
     else:
         wsums = _window_sums(points, digits16, window_bits)
-    # combine windows host-side: result = sum_w 2^(c w) S_w
+    return _fold_windows(wsums, window_bits)
+
+
+def _fold_windows(wsums: JacPoint, window_bits: int) -> AffinePoint:
+    """Combine [n_win] window sums host-side: result = sum_w 2^(c w) S_w."""
     window_pts = device_to_affine(wsums)
     from .curve_host import g1_infinity
 

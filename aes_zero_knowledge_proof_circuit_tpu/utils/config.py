@@ -46,14 +46,41 @@ _jax_cache_initialized = False
 
 def init_jax_compilation_cache() -> None:
     """Persist XLA compilations across processes — limb-arithmetic programs
-    are large and re-used identically every run."""
+    are large and re-used identically every run.
+
+    The cache directory is keyed by a host fingerprint: XLA:CPU caches AOT
+    machine code compiled for the exact CPU feature set, and reusing a cache
+    from a different machine loads binaries the loader itself flags with
+    "could lead to execution errors such as SIGILL" — observed in round 2 as
+    silently WRONG field arithmetic from round-1 cache entries."""
     global _jax_cache_initialized
     if _jax_cache_initialized:
         return
+    import hashlib
+    import platform
+
     import jax
 
-    cache = Path(CONFIG.cache_dir) / "jax_cache"
+    fp_src = "|".join([
+        platform.machine(),
+        platform.processor() or "",
+        _cpu_flags_fingerprint(),
+        jax.__version__,
+    ])
+    fp = hashlib.blake2s(fp_src.encode()).hexdigest()[:12]
+    cache = Path(CONFIG.cache_dir) / f"jax_cache_{fp}"
     cache.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _jax_cache_initialized = True
+
+
+def _cpu_flags_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return ",".join(sorted(line.split(":", 1)[1].split()))
+    except OSError:
+        pass
+    return "unknown"

@@ -138,13 +138,51 @@ def synthesize_keys(
                 srs = kzg.setup(need, rng)
             save_srs(str(srs_path), srs)
     if backend == "jax":
-        from .marlin.indexer_jax import index_jax
-
-        pk = index_jax(tpl.r1cs, srs)
+        pk = _indexed_pk_cached(plaintext_length, mode, tpl, srs)
     else:
         pk = _indexer.index(tpl.r1cs, srs)
     apk = AESProvingKey(marlin_pk=pk, template=tpl, backend=backend)
     return apk, pk.vk
+
+
+INDEX_VERSION = 2
+
+
+def _indexed_pk_cached(msg_len: int, mode: str, tpl: Template,
+                       srs: kzg.SRS) -> MarlinProvingKey:
+    """index_jax with a disk checkpoint (SURVEY.md §5 checkpoint/resume).
+
+    Indexing at AES scale costs ~10+ min per process (device NTTs + 9
+    commit MSMs + the COO walk); the indexed key is deterministic given
+    (template, SRS), so cache everything but the SRS itself."""
+    path = CONFIG.template_dir / (
+        f"pk_{mode}_{msg_len}_v{TEMPLATE_VERSION}_srs{srs.max_degree}"
+        f"_ix{INDEX_VERSION}.pkl"
+    )
+    if path.exists():
+        log.info("loading indexed proving key %s", path)
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        pk = MarlinProvingKey(
+            srs=srs, vk=state["vk"], r1cs=tpl.r1cs, log_n=state["log_n"],
+            log_x=state["log_x"], var_to_slot=state["var_to_slot"],
+            matrices=state["matrices"],
+        )
+        pk.coo_np = state["coo_np"]
+        return pk
+    from .marlin.indexer_jax import index_jax
+
+    pk = index_jax(tpl.r1cs, srs)
+    state = dict(
+        vk=pk.vk, log_n=pk.log_n, log_x=pk.log_x,
+        var_to_slot=pk.var_to_slot, matrices=pk.matrices,
+        coo_np=pk.coo_np,
+    )
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return pk
 
 
 def encrypt(

@@ -69,25 +69,32 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
 
     matrices: List[MatrixIndex] = []
     comms: List[kzg.Commitment] = []
+    coo_np = []
+    v2s = np.asarray(var_to_slot, np.int32)
     for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
-        row_slots, col_slots, vals = [], [], []
+        ri_l, ci_l, vv_l = [], [], []
         for i, row in enumerate(rows):
             for c, v in sorted(row.items()):
-                row_slots.append(i)
-                col_slots.append(var_to_slot[c])
-                vals.append(v)
-        nnz = len(vals)
+                ri_l.append(i)
+                ci_l.append(c)
+                vv_l.append(v if v < R_MOD // 2 else v - R_MOD)
+        nnz = len(vv_l)
         log_k = _next_pow2_log(nnz)
         k = 1 << log_k
-        row_slots += [0] * (k - nnz)
-        col_slots += [0] * (k - nnz)
-        vals += [0] * (k - nnz)
-
-        row_evals = h_pows[jnp.asarray(np.asarray(row_slots, np.int32))]
-        col_evals = h_pows[jnp.asarray(np.asarray(col_slots, np.int32))]
-        vals_signed = np.asarray(
-            [v if v < R_MOD // 2 else v - R_MOD for v in vals], np.int64
+        ri = np.asarray(ri_l, np.int32)
+        ci = np.asarray(ci_l, np.int32)
+        vals_np = np.asarray(vv_l, np.int64)
+        assert np.abs(vals_np).max(initial=0) < (1 << 31), (
+            "matrix coefficient exceeds int32 (unsupported by device path)"
         )
+        coo_np.append((ri, ci, vals_np.astype(np.int32)))
+        pad = k - nnz
+        row_slots = np.pad(ri, (0, pad))
+        col_slots = np.pad(v2s[ci], (0, pad))
+        vals_signed = np.pad(vals_np, (0, pad))
+
+        row_evals = h_pows[jnp.asarray(row_slots)]
+        col_evals = h_pows[jnp.asarray(col_slots)]
         from .prover_jax import _small_to_mont
 
         val_raw = _small_to_mont(jnp.asarray(vals_signed.astype(np.int32)))
@@ -118,9 +125,12 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
             MatrixIndex(
                 log_k=log_k,
                 nnz=nnz,
+                # np-backed (jax indexing path): slots int32, vals SIGNED
+                # int64 (v - r for v >= r/2) — the host indexer keeps raw
+                # field-value lists instead.
                 row_slots=row_slots,
                 col_slots=col_slots,
-                vals=vals,
+                vals=vals_signed,
                 row_evals=None,
                 col_evals=None,
                 val_evals=None,
@@ -156,4 +166,5 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
         matrices=matrices,
     )
     pk._srs_dev = srs_dev
+    pk.coo_np = coo_np          # prover fast path: skip python COO re-walk
     return pk

@@ -117,29 +117,43 @@ class JaxProver:
     def _finish_init(self, pk):
         r1cs = pk.r1cs
 
-        # matrices as COO int arrays for z_M = M z over bit witnesses
+        # matrices as COO int arrays for z_M = M z over bit witnesses —
+        # reuse the indexer's arrays when attached (pk.coo_np; the python
+        # re-walk over ~1.6M dict entries costs minutes on a small host)
         self.coo = []
-        for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
-            ri, ci, vi = [], [], []
-            for i, row in enumerate(rows):
-                for c, v in sorted(row.items()):
-                    ri.append(i)
-                    ci.append(c)
-                    vi.append(v if v < R_MOD // 2 else v - R_MOD)
-            self.coo.append(
-                (
-                    jnp.asarray(np.asarray(ri, np.int32)),
-                    jnp.asarray(np.asarray(ci, np.int32)),
-                    jnp.asarray(np.asarray(vi, np.int32)),
+        coo_np = getattr(pk, "coo_np", None)
+        if coo_np is not None:
+            for (ri, ci, vi) in coo_np:
+                self.coo.append(
+                    (jnp.asarray(ri), jnp.asarray(ci), jnp.asarray(vi))
                 )
-            )
+        else:
+            for rows in (r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
+                ri, ci, vi = [], [], []
+                for i, row in enumerate(rows):
+                    for c, v in sorted(row.items()):
+                        ri.append(i)
+                        ci.append(c)
+                        vi.append(v if v < R_MOD // 2 else v - R_MOD)
+                self.coo.append(
+                    (
+                        jnp.asarray(np.asarray(ri, np.int32)),
+                        jnp.asarray(np.asarray(ci, np.int32)),
+                        jnp.asarray(np.asarray(vi, np.int32)),
+                    )
+                )
 
         self.var_to_slot = jnp.asarray(np.asarray(pk.var_to_slot, np.int32))
 
-        # H powers and per-matrix index data on device
+        # H powers and per-matrix index data on device. Only the coefficient
+        # forms (needed by round 3 + the batched opens) are kept resident;
+        # K-domain evaluations are recomputed per round from cheap gathers/
+        # int->Montgomery casts — storing evals AND coeffs for 3 matrices
+        # was ~1.4GB of [k, D] tensors and a main OOM contributor.
         h = domain(self.log_n)
         self.h_pows = P.powers(P.scalar(h.omega), self.n)
-        n_inv = P.scalar(inv_mod(self.n, R_MOD))
+        self.n_inv_s = P.scalar(inv_mod(self.n, R_MOD))
+        n_inv = self.n_inv_s
         self.mat = []
         for m, (ri, ci, vi) in zip(pk.matrices, self.coo):
             k = m.k
@@ -148,26 +162,30 @@ class JaxProver:
             row_evals = self.h_pows[row_slots]
             col_evals = self.h_pows[col_slots]
             nnz = m.nnz
-            val_signed = np.zeros(k, np.int64)
-            for j, v in enumerate(m.vals):
-                val_signed[j] = v if v < R_MOD // 2 else v - R_MOD
-            val_raw = _small_to_mont(jnp.asarray(val_signed.astype(np.int32)))
+            if isinstance(m.vals, np.ndarray):
+                # jax-indexed pk: vals already signed (indexer_jax)
+                val_signed = m.vals.astype(np.int64)
+            else:
+                val_signed = np.zeros(k, np.int64)
+                for j, v in enumerate(m.vals):
+                    val_signed[j] = v if v < R_MOD // 2 else v - R_MOD
+            val_i32 = jnp.asarray(val_signed.astype(np.int32))
+            val_raw = _small_to_mont(val_i32)
             val_norm = F.mul(F.mul(val_raw, col_evals), n_inv[None, :])
             self.mat.append(
                 dict(
                     log_k=m.log_k,
                     k=k,
                     nnz=nnz,
-                    row_evals=row_evals,
-                    col_evals=col_evals,
+                    row_slots=row_slots,
                     col_slots=col_slots,
-                    val_raw=val_raw,
-                    val_norm=val_norm,
+                    val_i32=val_i32,
                     row_coeffs=P.intt(m.log_k, row_evals),
                     col_coeffs=P.intt(m.log_k, col_evals),
                     val_coeffs=P.intt(m.log_k, val_norm),
                 )
             )
+            del row_evals, col_evals, val_raw, val_norm
 
         # 4n-domain tables for the outer sumcheck
         h4 = domain(self.log_n + 2)
@@ -295,7 +313,9 @@ class JaxProver:
         x_poly = P.dpoly(x_poly_ints)
         x_on_h = P.ntt_to(log_n, x_poly)
         w_full = P.intt(log_n, F.sub(z_slots_mont, x_on_h))
+        del z_slots_mont, x_on_h
         w_hat, _w_rem = P.div_vanishing(w_full, x_size)
+        del w_full
 
         if zk:
             r_w = [rng.randrange(R_MOD) for _ in range(2)]
@@ -337,17 +357,21 @@ class JaxProver:
         alpha_s = P.scalar(alpha)
         contribs, slots = [], []
         for eta, md in zip((eta_a, eta_b, eta_c), self.mat):
-            denom_inv = F.batch_inv(F.sub(alpha_s[None, :], md["row_evals"]))
+            row_evals = self.h_pows[md["row_slots"]]
+            denom_inv = F.batch_inv(F.sub(alpha_s[None, :], row_evals))
             c = F.mul(
-                F.mul(md["val_raw"], denom_inv),
+                F.mul(_small_to_mont(md["val_i32"]), denom_inv),
                 P.scalar(eta * v_h_alpha % R_MOD)[None, :],
             )
             contribs.append(c)
             slots.append(md["col_slots"])
+            del row_evals, denom_inv
         t_vals = P.segment_sum_mod(
             jnp.concatenate(contribs), jnp.concatenate(slots), n
         )
+        del contribs
         t_coeffs = P.intt(log_n, t_vals)
+        del t_vals
 
         w_vx = P.sub(
             jnp.concatenate([jnp.zeros((x_size, D), jnp.float32), w_hat]),
@@ -361,16 +385,22 @@ class JaxProver:
         zb4 = P.ntt_to(log_n4, zb_coeffs)
         t4 = P.ntt_to(log_n4, t_coeffs)
         z4 = P.ntt_to(log_n4, z_coeffs)
+        del z_coeffs, w_vx
         denom4 = F.batch_inv(F.sub(alpha_s[None, :], self.h4_pows))
         r4 = F.mul(F.sub(P.scalar(v_h_alpha)[None, :], self.vh_on_h4), denom4)
+        del denom4
         ea, eb, ec = (P.scalar(v)[None, :] for v in (eta_a, eta_b, eta_c))
         p4 = F.add(
             F.add(F.mul(ea, za4), F.mul(eb, zb4)),
             F.mul(ec, F.mul(za4, zb4)),
         )
+        del za4, zb4
         q1_4 = F.sub(F.add(s4, F.mul(r4, p4)), F.mul(t4, z4))
+        del s4, t4, z4, r4, p4
         q1 = P.intt(log_n4, q1_4)
+        del q1_4
         h1_coeffs, rem = P.div_vanishing(q1, n)
+        del q1
         g1_coeffs = rem[1:]
         g1_shift = d_max - (n - 2)
 
@@ -390,27 +420,58 @@ class JaxProver:
         sigmas: List[int] = []
         g2_list, h2_list, g2_shifts = [], [], []
         comm_g2, comm_g2s, comm_h2 = [], [], []
+        from ..ops.field_params import fr_multiplicative_generator
+
+        g_cos = fr_multiplicative_generator()
         for md in self.mat:
             k, log_k = md["k"], md["log_k"]
-            b_vals = F.mul(
-                F.sub(alpha_s[None, :], md["row_evals"]),
-                F.sub(beta1_s[None, :], md["col_evals"]),
+            row_evals = self.h_pows[md["row_slots"]]
+            col_evals = self.h_pows[md["col_slots"]]
+            val_norm = F.mul(
+                F.mul(_small_to_mont(md["val_i32"]), col_evals),
+                self.n_inv_s[None, :],
             )
+            b_vals = F.mul(
+                F.sub(alpha_s[None, :], row_evals),
+                F.sub(beta1_s[None, :], col_evals),
+            )
+            del row_evals, col_evals
             f_vals = F.mul(
-                F.mul(md["val_norm"], P.scalar(scale_int)[None, :]),
+                F.mul(val_norm, P.scalar(scale_int)[None, :]),
                 F.batch_inv(b_vals),
             )
+            del b_vals, val_norm
             sigma = digits_to_ints(F, P.tree_sum(f_vals)[None, :])[0]
             f_coeffs = P.intt(log_k, f_vals)
+            del f_vals
             g2 = f_coeffs[1:]
             a_coeffs = P.scale(md["val_coeffs"], P.scalar(scale_int))
-            b_coeffs = P.mul_polys(
-                P.sub(P.pad_to(P.dpoly([alpha]), k), md["row_coeffs"]),
-                P.sub(P.pad_to(P.dpoly([beta1]), k), md["col_coeffs"]),
+            # h2 = (a - b*f) / v_K directly on the coset g*K2 (2k points):
+            # deg h2 = 2k-3 < 2k, so the coset interpolation is exact and
+            # the 3k-degree product b*f never materializes (the 4k-domain
+            # NTTs it needed were the prover's peak-memory site).
+            log_k2 = log_k + 1
+            a2 = P.ntt_coset(log_k2, a_coeffs, g_cos)
+            row2 = P.ntt_coset(log_k2, md["row_coeffs"], g_cos)
+            col2 = P.ntt_coset(log_k2, md["col_coeffs"], g_cos)
+            f2 = P.ntt_coset(log_k2, f_coeffs, g_cos)
+            b2 = F.mul(
+                F.sub(alpha_s[None, :], row2),
+                F.sub(beta1_s[None, :], col2),
             )
-            bf = P.mul_polys(b_coeffs, f_coeffs)
-            h2_full, _rem2 = P.div_vanishing(P.sub(a_coeffs, bf), k)
-            h2 = h2_full[: 2 * k - 2]
+            del row2, col2
+            # v_K(g*w2^j) = g^k * (-1)^j - 1  (w2^k = -1), j-alternating
+            gk = pow(g_cos, k, R_MOD)
+            iv = ints_to_digits(
+                F,
+                [inv_mod(gk - 1, R_MOD),
+                 inv_mod((R_MOD - gk - 1) % R_MOD, R_MOD)],
+            )
+            vk_inv = jnp.tile(jnp.asarray(iv), (k, 1))
+            h2_evals = F.mul(F.sub(a2, F.mul(b2, f2)), vk_inv)
+            del a2, b2, f2
+            h2 = P.intt_coset(log_k2, h2_evals, g_cos)[: 2 * k - 2]
+            del h2_evals
             g2_shift = d_max - (k - 2)
             g2_shifts.append(g2_shift)
             ((cg2, _), (cg2s, _), (ch2, _)) = self._commit_batch(

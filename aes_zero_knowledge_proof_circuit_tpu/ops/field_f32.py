@@ -84,17 +84,21 @@ class F32Ops:
         self.ctx = ctx
         self.D = ctx.D
         n_mod = ctx.modulus
-        # ensure_compile_time_eval: F32Ops instances are lru-cached, so the
-        # constants must be concrete even if first constructed inside a trace.
-        with jax.ensure_compile_time_eval():
-            self.t_nprime = jnp.asarray(_toeplitz(ctx.nprime, self.D, self.D))
-            self.t_n = jnp.asarray(_toeplitz(n_mod, self.D, 2 * self.D))
-            self.mod_digits = jnp.asarray(_int_to_digits(n_mod, self.D))
-            self.two_n = jnp.asarray(_int_to_digits(2 * n_mod, self.D))
-            self.c16n = jnp.asarray(_int_to_digits(16 * n_mod, self.D))
-            self.one_mont = jnp.asarray(_int_to_digits(ctx.R_mod, self.D))
-            self.r2_digits = jnp.asarray(_int_to_digits(ctx.R2_mod, self.D))
-            self.zero = jnp.zeros((self.D,), jnp.float32)
+        # The engine constants stay HOST numpy arrays on purpose: a numpy
+        # constant closed over by a jitted op lowers straight from host
+        # memory, while a committed jax.Array constant forces a
+        # device->host fetch during MLIR lowering — per compile, per shape —
+        # which stalls for minutes over the axon remote-device tunnel (and
+        # being host values, they are trivially concrete inside traces, so
+        # no ensure_compile_time_eval dance for the lru-cached instances).
+        self.t_nprime = _toeplitz(ctx.nprime, self.D, self.D)
+        self.t_n = _toeplitz(n_mod, self.D, 2 * self.D)
+        self.mod_digits = _int_to_digits(n_mod, self.D)
+        self.two_n = _int_to_digits(2 * n_mod, self.D)
+        self.c16n = _int_to_digits(16 * n_mod, self.D)
+        self.one_mont = _int_to_digits(ctx.R_mod, self.D)
+        self.r2_digits = _int_to_digits(ctx.R2_mod, self.D)
+        self.zero = np.zeros((self.D,), np.float32)
         # fold() estimate constant: top-4-digit value / (2N), as float
         self.inv_2n_scaled = float(
             (2.0 ** (8 * (self.D - 4))) / float(2 * n_mod)
@@ -103,7 +107,7 @@ class F32Ops:
         w = np.zeros(self.D, np.float32)
         for j in range(self.D - 3, self.D):
             w[j] = float(2.0 ** (8 * (j - self.D)))
-        self.carry_w = jnp.asarray(w)
+        self.carry_w = w
         self.mul = jax.jit(self.mul)
         self.add = jax.jit(self.add)
         self.sub = jax.jit(self.sub)

@@ -7,10 +7,15 @@ TPU-native equivalent of ark-poly's radix-2 GeneralEvaluationDomain
 Decimation-in-time over [n, D] f32 digit tensors (ops/field_f32.py): a
 static bit-reversal gather, then log2(n) butterfly stages, each one batched
 Montgomery multiply (flat graph: digit fma ladder + two MXU Toeplitz
-matmuls) of n/2 twiddled elements plus modular add/sub. Twiddles are
-host-precomputed in Montgomery digit form and baked into the jitted program
-(one compilation per domain size). Multi-chip sharding lives in
-parallel/sharded_ntt.py.
+matmuls) of n/2 twiddled elements plus modular add/sub.
+
+Twiddle layout: every stage's twiddles are strided subsamples of ONE
+[n/2, D] table of omega-powers (stage s uses w_m^j = omega^{(n/m) j}, i.e.
+table[:: n >> s]), so an engine holds a single device table per direction,
+computed on device by a log-depth scan. The table, the bit-reversal
+permutation, and 1/n enter the jitted program as runtime ARGUMENTS, never
+as captured constants — at 2^20-2^22 the embedded-constant HLO is hundreds
+of MB and the axon remote-compile tunnel rejects it (HTTP 413).
 
 Bit-exact against ops/poly_host.Domain (tests/test_ntt_jax.py).
 """
@@ -33,26 +38,28 @@ def _bitrev_perm(log_n: int) -> np.ndarray:
     rev = np.zeros(n, np.int64)
     for b in range(log_n):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return rev
+    return rev.astype(np.int32)
 
 
-@functools.lru_cache(maxsize=None)
-def _stage_twiddles(log_n: int, inverse: bool):
-    """Per-stage twiddle digit tensors (Montgomery form), host-computed."""
-    n = 1 << log_n
+def _twiddle_table(ops: F32Ops, log_n: int, inverse: bool) -> jnp.ndarray:
+    """[n/2, D] device table of omega^j (Montgomery digits), j < n/2.
+
+    Computed on device by a log-depth product scan — building 2^21 powers
+    host-side in Python bigints costs tens of seconds, and shipping them as
+    jit constants is what broke the remote-compile path."""
+    from .scan_utils import hillis_scan
+
     omega = root_of_unity(log_n)
     if inverse:
         omega = inv_mod(omega, R_MOD)
-    ops = fr_f32()
-    out = []
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        w_m = pow(omega, n // m, R_MOD)
-        tw = [1] * (m // 2)
-        for j in range(1, m // 2):
-            tw[j] = tw[j - 1] * w_m % R_MOD
-        out.append(ints_to_digits(ops, tw))
-    return out
+    half = max(1, (1 << log_n) // 2)
+    first = jnp.asarray(ints_to_digits(ops, [1]))          # [1, D]
+    if half == 1:
+        return first
+    w = jnp.asarray(ints_to_digits(ops, [omega])[0])
+    base = jnp.broadcast_to(w, (half - 1, ops.D)).astype(jnp.float32)
+    seq = jnp.concatenate([first, base], axis=0)
+    return hillis_scan(ops.mul, seq)
 
 
 class NTTEngine:
@@ -62,44 +69,44 @@ class NTTEngine:
         self.log_n = log_n
         self.n = 1 << log_n
         self.ops = ops or fr_f32()
-        # ensure_compile_time_eval: engines are lru-cached, so constants must
-        # be concrete even if the first construction happens inside a trace
-        # (else cached tracers leak into later jit calls).
-        with jax.ensure_compile_time_eval():
-            self._perm = jnp.asarray(_bitrev_perm(log_n))
-            self._fwd_tw = [
-                jnp.asarray(t) for t in _stage_twiddles(log_n, False)
-            ]
-            self._inv_tw = [
-                jnp.asarray(t) for t in _stage_twiddles(log_n, True)
-            ]
-            n_inv = inv_mod(self.n, R_MOD)
-            self._n_inv = jnp.asarray(ints_to_digits(self.ops, [n_inv])[0])
-        self.ntt = jax.jit(self._ntt)
-        self.intt = jax.jit(self._intt)
+        self._perm = jax.device_put(_bitrev_perm(log_n))
+        self._fwd_tab = _twiddle_table(self.ops, log_n, False)
+        self._inv_tab = _twiddle_table(self.ops, log_n, True)
+        self._n_inv = jnp.asarray(
+            ints_to_digits(self.ops, [inv_mod(self.n, R_MOD)])[0]
+        )
+        self._ntt_j = jax.jit(self._core)
+        self._intt_j = jax.jit(self._inv_core)
 
-    def _core(self, x: jnp.ndarray, twiddles) -> jnp.ndarray:
+    def _core(self, x: jnp.ndarray, perm: jnp.ndarray,
+              table: jnp.ndarray) -> jnp.ndarray:
         ops = self.ops
         d = ops.D
-        x = x[self._perm]
+        x = x[perm]
         for s in range(1, self.log_n + 1):
             m = 1 << s
             half = m // 2
+            stride = self.n >> s
+            tw = table[::stride] if stride > 1 else table
             xs = x.reshape(self.n // m, m, d)
             left = xs[:, :half]
-            right = ops.mul(xs[:, half:], twiddles[s - 1][None, :, :])
+            right = ops.mul(xs[:, half:], tw[None, :, :])
             x = jnp.concatenate(
                 [ops.add(left, right), ops.sub(left, right)], axis=1
             ).reshape(self.n, d)
         return x
 
-    def _ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        """[n, D] Montgomery digit coeffs -> evaluations (natural order)."""
-        return self._core(coeffs, self._fwd_tw)
+    def _inv_core(self, x: jnp.ndarray, perm: jnp.ndarray,
+                  table: jnp.ndarray, n_inv: jnp.ndarray) -> jnp.ndarray:
+        out = self._core(x, perm, table)
+        return self.ops.mul(out, n_inv[None, :])
 
-    def _intt(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = self._core(evals, self._inv_tw)
-        return self.ops.mul(out, self._n_inv[None, :])
+    def ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """[n, D] Montgomery digit coeffs -> evaluations (natural order)."""
+        return self._ntt_j(coeffs, self._perm, self._fwd_tab)
+
+    def intt(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self._intt_j(evals, self._perm, self._inv_tab, self._n_inv)
 
 
 @functools.lru_cache(maxsize=None)

@@ -58,6 +58,28 @@ def intt(log_n: int, evals: jnp.ndarray) -> jnp.ndarray:
     return ntt_engine(log_n).intt(evals)
 
 
+def ntt_coset(log_n: int, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Evaluate a dpoly on the coset g*<w_n>: scale coeff i by g^i, NTT.
+
+    The coset trick lets round-3 compute h2 = (a - b f)/v_K directly on 2k
+    points instead of materializing the 3k-degree product b*f on a 4k
+    domain — the 2^21+ tensors there were the prover's OOM site."""
+    from .field_params import R_MOD
+
+    eng = ntt_engine(log_n)
+    pw = powers(scalar(g % R_MOD), eng.n)
+    return eng.ntt(F.mul(pad_to(coeffs, eng.n), pw))
+
+
+def intt_coset(log_n: int, evals: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Interpolate from evaluations on g*<w_n> (exact for deg < 2^log_n)."""
+    from .field_params import R_MOD, inv_mod
+
+    eng = ntt_engine(log_n)
+    pw = powers(scalar(inv_mod(g % R_MOD, R_MOD)), eng.n)
+    return F.mul(eng.intt(evals), pw)
+
+
 def mul_polys(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Coefficient product via NTT (output length = len(p)+len(q)-1)."""
     out_len = p.shape[0] + q.shape[0] - 1

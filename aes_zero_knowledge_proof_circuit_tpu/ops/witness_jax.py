@@ -42,20 +42,24 @@ class WitnessEvaluator:
             xyz[1, i, :m] = lvl.y
             xyz[2, i, :m] = lvl.s
             coeffs[i, :, :m] = lvl.coeffs
-        self._out = jnp.asarray(out)
-        self._x = jnp.asarray(xyz[0])
-        self._y = jnp.asarray(xyz[1])
-        self._s = jnp.asarray(xyz[2])
-        self._coeffs = jnp.asarray(coeffs)
+        # HOST numpy on purpose: these close over the jitted evaluator as
+        # constants, and numpy constants lower from host memory — a
+        # committed device array here forces a device->host fetch per
+        # lowering, which stalls over the axon remote-device tunnel.
+        self._out = out
+        self._x = xyz[0]
+        self._y = xyz[1]
+        self._s = xyz[2]
+        self._coeffs = coeffs
         self._inputs = {
-            k: (jnp.asarray(plan.input_idx[k]), jnp.asarray(plan.input_slot[k]))
+            k: (np.asarray(plan.input_idx[k]), np.asarray(plan.input_slot[k]))
             for k in plan.input_idx
         }
         self._inst = (
-            jnp.asarray(plan.inst_idx),
-            jnp.asarray(plan.inst_c),
-            jnp.asarray(plan.inst_var),
-            jnp.asarray(plan.inst_q),
+            np.asarray(plan.inst_idx),
+            np.asarray(plan.inst_c),
+            np.asarray(plan.inst_var),
+            np.asarray(plan.inst_q),
         )
         self.evaluate = jax.jit(self._evaluate)
 

@@ -47,11 +47,25 @@ def _twiddle_matrix(log_n1: int, log_n2: int, inverse: bool) -> np.ndarray:
     return ints_to_digits(F, flat).reshape(n2, n1, F.D)
 
 
-def _batched_ntt(log_n: int, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    """NTT along axis 0 of [n, B, L]."""
+def _engine_args(log_n: int, inverse: bool):
+    """(perm, table[, n_inv]) arg tuple for one engine direction."""
     eng = ntt_engine(log_n)
-    fn = eng.intt if inverse else eng.ntt
-    return jax.vmap(fn, in_axes=1, out_axes=1)(x)
+    if inverse:
+        return (eng._perm, eng._inv_tab, eng._n_inv)
+    return (eng._perm, eng._fwd_tab)
+
+
+def _batched_ntt(log_n: int, x: jnp.ndarray, inverse: bool,
+                 args) -> jnp.ndarray:
+    """NTT along axis 0 of [n, B, L]; `args` from _engine_args (passed
+    through the enclosing jit so tables never embed as HLO constants)."""
+    eng = ntt_engine(log_n)
+    if inverse:
+        fn = jax.vmap(eng._inv_core, in_axes=(1, None, None, None),
+                      out_axes=1)
+    else:
+        fn = jax.vmap(eng._core, in_axes=(1, None, None), out_axes=1)
+    return fn(x, *args)
 
 
 def ntt_sharded(
@@ -70,23 +84,26 @@ def ntt_sharded(
     n1, n2 = 1 << log_n1, 1 << log_n2
     n = n1 * n2
     assert coeffs.shape[0] == n
-    # Build (lru-cached) engines eagerly, outside the trace below.
-    ntt_engine(log_n1), ntt_engine(log_n2)
+    # Build (lru-cached) engines eagerly, outside the trace below; their
+    # tables and the inter-pass twiddle matrix enter the jit as ARGUMENTS
+    # (embedded-constant HLO breaks the remote-compile tunnel at scale).
+    args1 = _engine_args(log_n1, inverse)
+    args2 = _engine_args(log_n2, inverse)
     tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, inverse))
 
     col_sharding = NamedSharding(mesh, P(None, axis, None))
 
-    def run(a_flat):
+    def run(a_flat, tw, args1, args2):
         # A[n2][n1]: n = n2*N1 + n1... input index n = row*n1 + col
         a = a_flat.reshape(n2, n1, F.D)
         a = jax.lax.with_sharding_constraint(a, col_sharding)
-        b = _batched_ntt(log_n2, a, inverse)           # over n2, local
+        b = _batched_ntt(log_n2, a, inverse, args2)     # over n2, local
         c = F.mul(b, tw)                                # twiddle, local
         ct = jnp.transpose(c, (1, 0, 2))                # [n1, n2, L]
         ct = jax.lax.with_sharding_constraint(ct, col_sharding)  # all-to-all
-        d = _batched_ntt(log_n1, ct, inverse)           # over n1, local
+        d = _batched_ntt(log_n1, ct, inverse, args1)    # over n1, local
         # d[k1][k2] = X[k1*N2 + k2] -> row-major flatten IS the output.
         # (inverse: both passes scale by 1/n1 and 1/n2 -> total 1/n, correct)
         return d.reshape(n, F.D)
 
-    return jax.jit(run)(coeffs)
+    return jax.jit(run)(coeffs, tw, args1, args2)

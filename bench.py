@@ -50,21 +50,30 @@ def _bench_ntt_msm():
     }
 
 
+def _stage(msg: str) -> None:
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def _bench_block_proof():
     """Full prove path: synthesize once (cached), then time encrypt()."""
     from aes_zero_knowledge_proof_circuit_tpu import api
 
+    _stage("synthesize_keys(16) start")
     pk, vk = api.synthesize_keys(16, backend="jax")
+    _stage("synthesize_keys done; warm-up prove start")
     msg = bytes(range(16))
     key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
     # warm-up (compiles everything)
     proof = api.encrypt(msg, key, pk)
+    _stage("warm-up prove done; verifying")
     ct = api.compute_ciphertext(msg, key)
     assert api.verify_encryption(vk, proof, ct), "bench proof failed to verify"
+    _stage("verified; timing loop start")
     iters = 3
     t0 = time.time()
-    for _ in range(iters):
+    for i in range(iters):
         api.encrypt(msg, key, pk)
+        _stage(f"prove iter {i} done")
     dt = (time.time() - t0) / iters
     return {
         "metric": "aes128_block_proofs_per_sec",
@@ -104,6 +113,10 @@ def _tpu_responsive(timeout_s: float = 90.0) -> bool:
 
 
 def main() -> None:
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> -> stack dump
     mode = os.environ.get("ZKAES_BENCH", "auto")
     if mode == "auto" and not _tpu_responsive():
         print("# TPU unresponsive; running microbench on CPU", file=sys.stderr)

@@ -111,6 +111,7 @@ def synthesize_keys(
     require(mode in ("ecb", "cbc"), InvalidInputError,
             f"mode must be 'ecb' or 'cbc', got {mode!r}")
     rng = rng or generate_rand()
+    caller_srs = srs is not None
     tpl = _template_cached(plaintext_length, mode)
     na, nb, nc = tpl.r1cs.nnz()
     need = _indexer.required_degree(
@@ -138,7 +139,8 @@ def synthesize_keys(
                 srs = kzg.setup(need, rng)
             save_srs(str(srs_path), srs)
     if backend == "jax":
-        pk = _indexed_pk_cached(plaintext_length, mode, tpl, srs)
+        pk = _indexed_pk_cached(plaintext_length, mode, tpl, srs,
+                                use_disk_cache=not caller_srs)
     else:
         pk = _indexer.index(tpl.r1cs, srs)
     apk = AESProvingKey(marlin_pk=pk, template=tpl, backend=backend)
@@ -148,16 +150,46 @@ def synthesize_keys(
 INDEX_VERSION = 2
 
 
+def _srs_digest(srs: kzg.SRS) -> str:
+    """Short content digest binding a pk checkpoint to its exact SRS.
+
+    Hashes the generator plus a spread of power points — enough to detect a
+    regenerated/substituted SRS without walking all ~1M points."""
+    import hashlib
+
+    h = hashlib.blake2s(digest_size=8)
+    packed = getattr(srs.powers_g1, "packed", None)
+    if packed is not None:
+        n = packed.shape[0]
+        for i in (0, 1, n // 2, n - 1):
+            h.update(packed[i].tobytes())
+    else:
+        n = len(srs.powers_g1)
+        for i in (0, 1, n // 2, n - 1):
+            p = srs.powers_g1[i]
+            h.update(b"inf" if p.inf else int(p.x).to_bytes(48, "little"))
+    h.update(int(srs.max_degree).to_bytes(8, "little"))
+    return h.hexdigest()
+
+
 def _indexed_pk_cached(msg_len: int, mode: str, tpl: Template,
-                       srs: kzg.SRS) -> MarlinProvingKey:
+                       srs: kzg.SRS, use_disk_cache: bool = True,
+                       ) -> MarlinProvingKey:
     """index_jax with a disk checkpoint (SURVEY.md §5 checkpoint/resume).
 
     Indexing at AES scale costs ~10+ min per process (device NTTs + 9
     commit MSMs + the COO walk); the indexed key is deterministic given
-    (template, SRS), so cache everything but the SRS itself."""
+    (template, SRS), so cache everything but the SRS itself. The cache
+    filename carries an SRS content digest so a regenerated checkpoint (or
+    a caller-supplied SRS, which skips the disk cache entirely) can never
+    pair with a stale pk."""
+    if not use_disk_cache:
+        from .marlin.indexer_jax import index_jax
+
+        return index_jax(tpl.r1cs, srs)
     path = CONFIG.template_dir / (
         f"pk_{mode}_{msg_len}_v{TEMPLATE_VERSION}_srs{srs.max_degree}"
-        f"_ix{INDEX_VERSION}.pkl"
+        f"_{_srs_digest(srs)}_ix{INDEX_VERSION}.pkl"
     )
     if path.exists():
         log.info("loading indexed proving key %s", path)

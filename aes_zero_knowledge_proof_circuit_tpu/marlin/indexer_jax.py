@@ -51,18 +51,23 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
     for w in range(r1cs.num_witness):
         var_to_slot[r1cs.num_instance + w] = free_slots[w]
 
-    # commit backend: native OpenMP Pippenger over the packed SRS when
-    # available (no 600MB device upload), else device MSM
+    # commit backend: mirrors JaxProver — "auto" picks the device Pallas
+    # MSM on TPU, the native OpenMP Pippenger elsewhere (when available)
     import os as _os
+
+    import jax as _jax
 
     from .. import native as _native
 
     srs_packed = getattr(srs.powers_g1, "packed", None)
-    native_commits = (
-        _os.environ.get("ZKAES_COMMIT_BACKEND", "native") == "native"
-        and _native.available()
-        and srs_packed is not None
-    )
+    native_ok = _native.available() and srs_packed is not None
+    choice = _os.environ.get("ZKAES_COMMIT_BACKEND", "auto")
+    if choice == "auto":
+        choice = (
+            "device" if _jax.default_backend() == "tpu"
+            else ("native" if native_ok else "device")
+        )
+    native_commits = choice == "native" and native_ok
     srs_dev = None if native_commits else DevicePoints(srs.powers_g1)
     h_pows = P.powers(P.scalar(h.omega), n)
     n_inv = P.scalar(inv_mod(n, R_MOD))
@@ -84,8 +89,10 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
         ri = np.asarray(ri_l, np.int32)
         ci = np.asarray(ci_l, np.int32)
         vals_np = np.asarray(vv_l, np.int64)
-        assert np.abs(vals_np).max(initial=0) < (1 << 31), (
-            "matrix coefficient exceeds int32 (unsupported by device path)"
+        # _small_to_mont decomposes 3 bytes: anything >= 2^24 would be
+        # silently truncated to a wrong field element, so reject it here
+        assert np.abs(vals_np).max(initial=0) < (1 << 24), (
+            "matrix coefficient exceeds 2^24 (unsupported by device path)"
         )
         coo_np.append((ri, ci, vals_np.astype(np.int32)))
         pad = k - nnz

@@ -171,7 +171,9 @@ def prove(
     for eta, m in zip(etas, pk.matrices):
         denoms = _batch_inv([(alpha - re) % R_MOD for re in m.row_evals[: m.nnz]])
         for j in range(m.nnz):
-            contrib = m.vals[j] * v_h_alpha % R_MOD * denoms[j] % R_MOD
+            # int() guard: a jax-indexed pk stores vals as signed np.int64
+            # (indexer_jax), and np.int64 * a 253-bit python int overflows
+            contrib = int(m.vals[j]) % R_MOD * v_h_alpha % R_MOD * denoms[j] % R_MOD
             t_vals[m.col_slots[j]] = (t_vals[m.col_slots[j]] + eta * contrib) % R_MOD
     t_coeffs = h.intt(t_vals)
 

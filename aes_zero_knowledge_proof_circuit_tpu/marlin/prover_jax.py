@@ -16,7 +16,10 @@ pure tensor compute.
 
 from __future__ import annotations
 
+import functools
+import logging
 import random as _random
+import time as _time
 from typing import List, Optional, Sequence
 
 import jax
@@ -34,6 +37,25 @@ from .prover import MarlinProof
 
 F = fr_f32()
 D = F.D
+
+log = logging.getLogger(__name__)
+
+
+class _StageTimer:
+    """Per-stage prover timing (SURVEY.md §5: per-kernel/stage counters).
+
+    Collected on every prove() into JaxProver.last_stage_times; logged at
+    INFO so e2e runs record the breakdown."""
+
+    def __init__(self):
+        self.times: dict = {}
+        self._t0 = _time.time()
+
+    def mark(self, stage: str) -> None:
+        now = _time.time()
+        self.times[stage] = round(now - self._t0, 3)
+        log.info("prover stage %-18s %.2fs", stage, now - self._t0)
+        self._t0 = now
 
 
 def to_msm_digits(coeffs_mont: jnp.ndarray) -> jnp.ndarray:
@@ -89,20 +111,25 @@ class JaxProver:
         self.d_max = pk.srs.max_degree
         r1cs = pk.r1cs
 
-        # Commit backend: the native OpenMP Pippenger (zk_g1_msm_limb16)
-        # when the library and a packed SRS are available, else the device
-        # MSM. Native avoids uploading the ~600MB SRS over the device link
-        # entirely; override with ZKAES_COMMIT_BACKEND=device.
+        # Commit backend (ZKAES_COMMIT_BACKEND): "auto" (default) picks the
+        # device Pallas MSM on TPU — measured ~20x the 2-core native
+        # OpenMP Pippenger — and the native tier elsewhere (XLA:CPU cannot
+        # compile the point graphs in acceptable time). "native"/"device"
+        # force a tier. The SRS upload for device commits happens once per
+        # prover (DevicePoints) and is reused across proofs.
         import os as _os
 
         from .. import native as _native
 
         self._srs_packed = getattr(pk.srs.powers_g1, "packed", None)
-        self._native_commits = (
-            _os.environ.get("ZKAES_COMMIT_BACKEND", "native") == "native"
-            and _native.available()
-            and self._srs_packed is not None
-        )
+        choice = _os.environ.get("ZKAES_COMMIT_BACKEND", "auto")
+        native_ok = _native.available() and self._srs_packed is not None
+        if choice == "auto":
+            choice = (
+                "device" if jax.default_backend() == "tpu"
+                else ("native" if native_ok else "device")
+            )
+        self._native_commits = choice == "native" and native_ok
         # SRS powers on device (lazy: skipped entirely for native commits;
         # reuse the indexer's upload when present)
         self._srs_dev = getattr(pk, "_srs_dev", None)
@@ -169,6 +196,10 @@ class JaxProver:
                 val_signed = np.zeros(k, np.int64)
                 for j, v in enumerate(m.vals):
                     val_signed[j] = v if v < R_MOD // 2 else v - R_MOD
+            # mirror of indexer_jax's bound: _small_to_mont is 3-byte-exact
+            assert np.abs(val_signed).max(initial=0) < (1 << 24), (
+                "matrix coefficient exceeds 2^24 (unsupported by device path)"
+            )
             val_i32 = jnp.asarray(val_signed.astype(np.int32))
             val_raw = _small_to_mont(val_i32)
             val_norm = F.mul(F.mul(val_raw, col_evals), n_inv[None, :])
@@ -285,6 +316,7 @@ class JaxProver:
         d_max = self.d_max
         assert len(instance) == r1cs.num_instance and instance[0] == 1
 
+        st = _StageTimer()
         t = Transcript()
         pk.vk.absorb_into(t)
         t.absorb_fr_list(b"instance", instance)
@@ -317,6 +349,8 @@ class JaxProver:
         w_hat, _w_rem = P.div_vanishing(w_full, x_size)
         del w_full
 
+        w_hat.block_until_ready()
+        st.mark("r1_polys")
         if zk:
             r_w = [rng.randrange(R_MOD) for _ in range(2)]
             r_a = [rng.randrange(R_MOD) for _ in range(2)]
@@ -343,6 +377,7 @@ class JaxProver:
          (comm_s, rand_s)) = self._commit_batch(
             [(w_hat, 0, hb), (za_coeffs, 0, hb), (zb_coeffs, 0, hb),
              (s_coeffs, 0, hb)], rng=rng)
+        st.mark("r1_commits")
         for lbl, c in ((b"w", comm_w), (b"za", comm_za), (b"zb", comm_zb),
                        (b"s", comm_s)):
             t.absorb_g1(lbl, c.point)
@@ -403,11 +438,14 @@ class JaxProver:
         del q1
         g1_coeffs = rem[1:]
         g1_shift = d_max - (n - 2)
+        h1_coeffs.block_until_ready()
+        st.mark("r2_polys")
 
         ((comm_t, _), (comm_g1, rand_g1), (comm_g1s, rand_g1s),
          (comm_h1, rand_h1)) = self._commit_batch(
             [(t_coeffs, 0, False), (g1_coeffs, 0, hb),
              (g1_coeffs, g1_shift, hb), (h1_coeffs, 0, hb)], rng=rng)
+        st.mark("r2_commits")
         for lbl, c in ((b"t", comm_t), (b"g1", comm_g1), (b"g1s", comm_g1s),
                        (b"h1", comm_h1)):
             t.absorb_g1(lbl, c.point)
@@ -487,6 +525,7 @@ class JaxProver:
             t.absorb_g1(b"g2s", cg2s.point)
             t.absorb_g1(b"h2", ch2.point)
         beta2 = t.challenge_fr(b"beta2")
+        st.mark("r3_polys_commits")
 
         # ---- evaluations -------------------------------------------------
         def ev(p: jnp.ndarray, z: int) -> int:
@@ -508,6 +547,7 @@ class JaxProver:
             t.absorb_fr_list(b"evals_beta2", e)
         xi1 = t.challenge_fr(b"xi1")
         xi2 = t.challenge_fr(b"xi2")
+        st.mark("evals")
 
         open_beta1 = self._batch_open(
             [
@@ -518,6 +558,7 @@ class JaxProver:
             ],
             beta1, xi1,
         )
+        st.mark("open_beta1")
         beta2_polys = []
         for md, g2, h2, shift in zip(self.mat, g2_list, h2_list, g2_shifts):
             beta2_polys += [
@@ -526,6 +567,8 @@ class JaxProver:
                 (g2, shift, None), (h2, 0, None),
             ]
         open_beta2 = self._batch_open(beta2_polys, beta2, xi2)
+        st.mark("open_beta2")
+        self.last_stage_times = st.times
 
         return MarlinProof(
             comm_w=comm_w, comm_za=comm_za, comm_zb=comm_zb, comm_s=comm_s,
@@ -538,34 +581,50 @@ class JaxProver:
 
     # -- batched opening on device ----------------------------------------
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def _open_quotient(polys, xi_rows, z_pair, offsets, max_len):
+        """Combine xi-weighted polys and form the opening quotient
+        (F(X)-F(z))/(X-z) in ONE dispatch (w_i = (F(z)-P_i(z)) z^{-(i+1)}).
+        polys: tuple of [len_i, D]; offsets static; z_pair = (z, z^-1)
+        digit rows."""
+        from ..ops.scan_utils import hillis_scan
+
+        comb = jnp.zeros((max_len, D), jnp.float32)
+        for i, (coeffs, off) in enumerate(zip(polys, offsets)):
+            scaled = F.mul(coeffs, xi_rows[i][None, :])
+            pad = [(off, max_len - off - coeffs.shape[0]), (0, 0)]
+            comb = F.add(comb, jnp.pad(scaled, pad))
+        z_dig, zinv_dig = z_pair
+        zpow = P._powers_body(z_dig, max_len)
+        terms = F.mul(comb, zpow)
+        prefix = hillis_scan(F.add, terms)
+        f_z = prefix[-1]
+        zinv_pows = F.mul(P._powers_body(zinv_dig, max_len),
+                          zinv_dig[None, :])
+        w_coeffs = F.mul(F.sub(f_z[None, :], prefix), zinv_pows)
+        # top coefficient w_{max_len-1} is 0 by construction; drop it
+        return w_coeffs[: max_len - 1]
+
     def _batch_open(self, polys, z: int, xi: int) -> kzg.OpeningProof:
         max_len = max(off + p.shape[0] for p, off, _ in polys)
-        comb = jnp.zeros((max_len, D), jnp.float32)
         comb_rand = [0] * (kzg.HIDING_POWERS + 1)
+        xi_pows: List[int] = []
         xi_pow = 1
         any_rand = False
-        for coeffs, off, rand_poly in polys:
-            scaled = P.scale(coeffs, P.scalar(xi_pow))
-            piece = jnp.zeros((max_len, D), jnp.float32)
-            piece = jax.lax.dynamic_update_slice(piece, scaled, (off, 0))
-            comb = F.add(comb, piece)
+        for _coeffs, _off, rand_poly in polys:
+            xi_pows.append(xi_pow)
             if rand_poly is not None:
                 any_rand = True
                 for i, c in enumerate(rand_poly):
                     comb_rand[i] = (comb_rand[i] + xi_pow * c) % R_MOD
             xi_pow = xi_pow * xi % R_MOD
-        # quotient (F(X)-F(z))/(X-z): w_i = (F(z) - P_i(z)) z^{-(i+1)}
-        from ..ops.scan_utils import hillis_scan
-
-        zpow = P.powers(P.scalar(z), max_len)
-        terms = F.mul(comb, zpow)
-        prefix = hillis_scan(F.add, terms)
-        f_z = prefix[-1]
-        zinv = P.scalar(inv_mod(z, R_MOD))
-        zinv_pows = F.mul(P.powers(zinv, max_len), zinv[None, :])
-        w_coeffs = F.mul(F.sub(f_z[None, :], prefix), zinv_pows)
-        # top coefficient w_{max_len-1} is 0 by construction; drop it
-        w_coeffs = w_coeffs[: max_len - 1]
+        xi_rows = jnp.asarray(ints_to_digits(F, xi_pows))
+        z_pair = (P.scalar(z), P.scalar(inv_mod(z, R_MOD)))
+        w_coeffs = self._open_quotient(
+            tuple(p for p, _off, _r in polys), xi_rows, z_pair,
+            tuple(off for _p, off, _r in polys), max_len,
+        )
         digits = to_msm_digits(w_coeffs)
         if self._native_commits:
             from .. import native

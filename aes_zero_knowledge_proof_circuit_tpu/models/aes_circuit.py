@@ -206,6 +206,29 @@ class Template:
     plan: CompiledPlan
     stage_log: List[Tuple[str, Dict[str, int]]]
     mode: str = "ecb"
+    # per-round wire probes (build_template(probe=True) only): stage name
+    # -> list of 16-Byte states, each Byte an 8-tuple of Bool wires. Lets
+    # tests assert the TEMPLATE's intermediate values against the FIPS-197
+    # round table, not just the oracle trace (integration_tests.rs:49-310).
+    probes: object = None
+
+    def probe_bytes(self, stage: str, index: int, z) -> bytes:
+        """Decode a probed 16-byte state from a full z vector."""
+        assert self.probes is not None, "build with probe=True"
+        state = self.probes[stage][index]
+        out = []
+        for byte in state:
+            v = 0
+            for j, b in enumerate(byte):
+                if b.var is None:
+                    bit = b.c
+                else:
+                    zi = b.var if b.var >= 0 else self.r1cs.witness_z_index(
+                        b.var)
+                    bit = (b.c + b.q * int(z[zi])) % 2
+                v |= bit << j
+            out.append(v)
+        return bytes(out)
 
     def witness_z(self, message: bytes, key: bytes,
                   iv: bytes | None = None) -> np.ndarray:
@@ -227,7 +250,7 @@ def _bytes_to_bits(data: bytes) -> np.ndarray:
 
 
 def build_template(msg_len: int, log_stages: bool = False,
-                   mode: str = "ecb") -> Template:
+                   mode: str = "ecb", probe: bool = False) -> Template:
     """Synthesize the full template for a msg_len-byte message (multiple of
     16). Mirrors encrypt() allocation order: message witnesses, key
     witnesses, circuit, ciphertext public inputs (src/lib.rs:60-114).
@@ -265,6 +288,15 @@ def build_template(msg_len: int, log_stages: bool = False,
     round_keys = derive_keys(sy, key, table)
     log("After deriving the round keys")
 
+    probes = (
+        {"start": [], "after_sub": [], "after_shift": [], "after_mix": []}
+        if probe else None
+    )
+
+    def rec(stage: str, st) -> None:
+        if probes is not None:
+            probes[stage].append(list(st))
+
     computed_ct: List[Byte] = []
     for blk in range(msg_len // 16):
         block = message[16 * blk : 16 * blk + 16]
@@ -273,16 +305,32 @@ def build_template(msg_len: int, log_stages: bool = False,
         # round 0: raw key is round key 0 (src/lib.rs:196)
         state = add_round_key(sy, block, key)
         log(f"block {blk}: after add_round_key round 0")
+        if blk == 0:
+            rec("start", state)
         for rnd in range(1, 10):
             state = substitute_bytes(sy, state, table)
+            if blk == 0:
+                rec("after_sub", state)
             state = shift_rows(state)
+            if blk == 0:
+                rec("after_shift", state)
             state = mix_columns(sy, state)
+            if blk == 0:
+                rec("after_mix", state)
             state = add_round_key(sy, state, round_keys[rnd])
+            if blk == 0:
+                rec("start", state)
             log(f"block {blk}: after round {rnd}")
         # round 10: no mix_columns (src/lib.rs:241-270)
         state = substitute_bytes(sy, state, table)
+        if blk == 0:
+            rec("after_sub", state)
         state = shift_rows(state)
+        if blk == 0:
+            rec("after_shift", state)
         state = add_round_key(sy, state, round_keys[10])
+        if blk == 0:
+            rec("start", state)  # == the block-0 ciphertext
         log(f"block {blk}: after round 10")
         computed_ct.extend(state)
         if mode == "cbc":
@@ -303,4 +351,4 @@ def build_template(msg_len: int, log_stages: bool = False,
         for stage, stats in stage_log:
             lg.debug("CONSTRAINT SYSTEM STATUS: %s %s", stage, stats)
     return Template(msg_len=msg_len, r1cs=r1cs, plan=plan,
-                    stage_log=stage_log, mode=mode)
+                    stage_log=stage_log, mode=mode, probes=probes)

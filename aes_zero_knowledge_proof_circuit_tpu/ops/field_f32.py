@@ -113,6 +113,8 @@ class F32Ops:
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
         self.inv = jax.jit(self.inv)
+        # one dispatch instead of ~3 log n (hillis levels + Fermat pow)
+        self.batch_inv = jax.jit(self.batch_inv)
         self.to_canonical_limbs = jax.jit(self.to_canonical_limbs)
         self.from_limb16 = jax.jit(self.from_limb16)
         self.is_zero = jax.jit(self.is_zero)

@@ -14,7 +14,7 @@ from .field_params import R_MOD
 
 
 def msm(points: Sequence[AffinePoint], scalars: Sequence[int],
-        window_bits: int = 8) -> AffinePoint:
+        window_bits: int | None = None) -> AffinePoint:
     """sum_i scalars[i] * points[i] via windowed bucket (Pippenger) method.
 
     Dispatches to the native C++ library (native/zkhost.cpp) when it is
@@ -35,7 +35,13 @@ def msm(points: Sequence[AffinePoint], scalars: Sequence[int],
 
 
 def _msm_python(points: Sequence[AffinePoint], scalars: Sequence[int],
-                window_bits: int = 8) -> AffinePoint:
+                window_bits: int | None = None) -> AffinePoint:
+    if window_bits is None:
+        # bucket-fold work is ~2^c adds/window regardless of n: size the
+        # window to n (a fixed c=8 made a 5-point MSM cost 8k affine adds,
+        # each a Fermat inversion — the dominant cost of toy-scale proofs)
+        n = len(points)
+        window_bits = 8 if n >= 256 else (4 if n >= 16 else 2)
     max_bits = R_MOD.bit_length()
     num_windows = (max_bits + window_bits - 1) // window_bits
     window_sums: List[AffinePoint] = []
@@ -48,10 +54,11 @@ def _msm_python(points: Sequence[AffinePoint], scalars: Sequence[int],
             if d == 0 or p.inf:
                 continue
             buckets[d] = buckets[d].add(p) if d in buckets else p
-        # sum_d d * B_d via running suffix sums
+        # sum_d d * B_d via running suffix sums; digits above the largest
+        # occupied bucket contribute nothing (running is infinity there)
         running = g1_infinity()
         acc = g1_infinity()
-        for d in range(mask, 0, -1):
+        for d in range(max(buckets, default=0), 0, -1):
             if d in buckets:
                 running = running.add(buckets[d])
             acc = acc.add(running)

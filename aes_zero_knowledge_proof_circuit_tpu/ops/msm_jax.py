@@ -199,6 +199,19 @@ def msm_device(points: JacPoint, digits16: jnp.ndarray,
     formulation below (kept for platforms where the fused compile is
     unacceptable)."""
     n = digits16.shape[0]
+    # TPU default: the Pallas bucket-scan MSM (ops/msm_pallas.py) — work-
+    # optimal, 33 dispatches, no scatter-in-loop compile pathology.
+    # ZKAES_MSM_PALLAS=0 opts out; =1 forces it elsewhere (interpret mode).
+    pallas_env = os.environ.get("ZKAES_MSM_PALLAS", "auto")
+    use_pallas = (
+        pallas_env == "1"
+        or (pallas_env == "auto" and jax.default_backend() == "tpu"
+            and n >= 256)
+    )
+    if use_pallas:
+        from .msm_pallas import msm_pallas
+
+        return msm_pallas(points, digits16)
     # fused is opt-in until its XLA:TPU compile pathology (scatter inside
     # fori_loop: >20 min remote compiles) is replaced by the Pallas bucket
     # kernel; correctness is proven on CPU (tests/test_msm_fused.py)

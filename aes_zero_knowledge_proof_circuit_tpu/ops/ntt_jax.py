@@ -62,13 +62,34 @@ def _twiddle_table(ops: F32Ops, log_n: int, inverse: bool) -> jnp.ndarray:
     return hillis_scan(ops.mul, seq)
 
 
+def _pallas_default() -> bool:
+    """Fused Pallas butterflies: default ON for real TPU backends, off on
+    CPU (interpret mode is for tests only). ZKAES_NTT_PALLAS=0/1 overrides."""
+    import os
+
+    v = os.environ.get("ZKAES_NTT_PALLAS", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 class NTTEngine:
     """One compiled forward+inverse NTT per domain size."""
 
-    def __init__(self, log_n: int, ops: F32Ops | None = None):
+    def __init__(self, log_n: int, ops: F32Ops | None = None,
+                 use_pallas: bool | None = None, interpret: bool = False):
+        # engines are lru-cached: constructing one under an enclosing jit
+        # would bake leaked tracers into the cached twiddle tables
+        assert not isinstance(
+            jnp.zeros(()), jax.core.Tracer
+        ), "NTTEngine must be constructed eagerly, not inside a jit trace"
         self.log_n = log_n
         self.n = 1 << log_n
         self.ops = ops or fr_f32()
+        self.use_pallas = (
+            _pallas_default() if use_pallas is None else use_pallas
+        )
+        self.interpret = interpret
         self._perm = jax.device_put(_bitrev_perm(log_n))
         self._fwd_tab = _twiddle_table(self.ops, log_n, False)
         self._inv_tab = _twiddle_table(self.ops, log_n, True)
@@ -78,10 +99,20 @@ class NTTEngine:
         self._ntt_j = jax.jit(self._core)
         self._intt_j = jax.jit(self._inv_core)
 
+    def _butterfly(self, left, right, tw):
+        """One radix-2 stage: (l + r*tw, l - r*tw)."""
+        ops = self.ops
+        if self.use_pallas:
+            from .pallas_field import pallas_butterfly
+
+            return pallas_butterfly(ops, left, right, tw,
+                                    interpret=self.interpret)
+        prod = ops.mul(right, tw)
+        return ops.add(left, prod), ops.sub(left, prod)
+
     def _core(self, x: jnp.ndarray, perm: jnp.ndarray,
               table: jnp.ndarray) -> jnp.ndarray:
-        ops = self.ops
-        d = ops.D
+        d = self.ops.D
         x = x[perm]
         for s in range(1, self.log_n + 1):
             m = 1 << s
@@ -90,10 +121,8 @@ class NTTEngine:
             tw = table[::stride] if stride > 1 else table
             xs = x.reshape(self.n // m, m, d)
             left = xs[:, :half]
-            right = ops.mul(xs[:, half:], tw[None, :, :])
-            x = jnp.concatenate(
-                [ops.add(left, right), ops.sub(left, right)], axis=1
-            ).reshape(self.n, d)
+            hi, lo = self._butterfly(left, xs[:, half:], tw[None, :, :])
+            x = jnp.concatenate([hi, lo], axis=1).reshape(self.n, d)
         return x
 
     def _inv_core(self, x: jnp.ndarray, perm: jnp.ndarray,

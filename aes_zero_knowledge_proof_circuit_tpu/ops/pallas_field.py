@@ -134,6 +134,96 @@ def _tile_for(n: int, d: int) -> int:
     return n
 
 
+def _butterfly_kernel(l_ref, r_ref, tw_ref, tnp_ref, tn_ref, twon_ref,
+                      c16n_ref, cw_ref, hi_ref, lo_ref, *, inv_2n: float):
+    """Fused NTT butterfly: t = r*tw; hi = l + t; lo = l - t.
+
+    One VMEM pass per tile — the butterfly's three HBM arrays are read
+    once and its two outputs written once; the ~60 mul temporaries plus
+    the add/sub never touch HBM (the XLA path materializes the product
+    and re-reads it twice)."""
+    left = l_ref[:]
+    prod = mul_digits(
+        r_ref[:], tw_ref[:], tnp_ref[:], tn_ref[:], twon_ref[:],
+        inv_2n, cw_ref[:],
+    )
+    two_n = twon_ref[:]
+    c16n = c16n_ref[:]
+    d = left.shape[-1]
+
+    def fold(x):
+        est = (
+            x[..., d - 1] * 16777216.0
+            + x[..., d - 2] * 65536.0
+            + x[..., d - 3] * 256.0
+            + x[..., d - 4]
+        ) * inv_2n
+        m = jnp.maximum(jnp.floor(est) - 1.0, 0.0)
+        return _norm_val(x - m[..., None] * two_n, 2)
+
+    hi_ref[:] = fold(left + prod)
+    lo_ref[:] = fold(left - prod + c16n)
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(d: int, n_rows: int, tile: int, inv_2n: float,
+                    interpret: bool):
+    grid = (n_rows // tile,)
+    row_spec = pl.BlockSpec((tile, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_butterfly_kernel, inv_2n=inv_2n),
+        grid=grid,
+        in_specs=[
+            row_spec,
+            row_spec,
+            row_spec,
+            const(d, d),
+            const(d, 2 * d),
+            const(1, d),
+            const(1, d),
+            const(1, d),
+        ],
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pallas_butterfly(ops: F32Ops, left: jnp.ndarray, right: jnp.ndarray,
+                     tw: jnp.ndarray, interpret: bool = False):
+    """(left + right*tw, left - right*tw) over [N, D] digit tensors —
+    the radix-2 NTT stage, fused into a single Pallas pass. Same digit
+    band as (F32Ops.add, F32Ops.sub) of the product; bit-exact vs the
+    XLA composition (tests/test_pallas_field.py)."""
+    shape = left.shape
+    d = ops.D
+    fl = left.reshape(-1, d)
+    fr = right.reshape(-1, d)
+    ft = jnp.broadcast_to(tw, right.shape).reshape(-1, d)
+    n = fl.shape[0]
+    tile = _tile_for(n, d)
+    pad = (-n) % tile
+    if pad:
+        fl = jnp.pad(fl, [(0, pad), (0, 0)])
+        fr = jnp.pad(fr, [(0, pad), (0, 0)])
+        ft = jnp.pad(ft, [(0, pad), (0, 0)])
+    call = _butterfly_call(d, n + pad, tile, ops.inv_2n_scaled, interpret)
+    hi, lo = call(
+        fl, fr, ft, ops.t_nprime, ops.t_n,
+        ops.two_n.reshape(1, d), ops.c16n.reshape(1, d),
+        ops.carry_w.reshape(1, d),
+    )
+    if pad:
+        hi, lo = hi[:n], lo[:n]
+    return hi.reshape(shape), lo.reshape(shape)
+
+
 def pallas_mul(ops: F32Ops, a: jnp.ndarray, b: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
     """Drop-in Montgomery mul: same contract as F32Ops.mul, Pallas-fused.

@@ -22,6 +22,11 @@ log = logging.getLogger("e2e")
 
 
 def main() -> None:
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> -> stack dump
+    faulthandler.dump_traceback_later(600, repeat=True)  # periodic heartbeat
     msg_len = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     import jax
 

@@ -17,7 +17,10 @@ from aes_zero_knowledge_proof_circuit_tpu.ops.field_f32 import (
     ints_to_digits,
 )
 from aes_zero_knowledge_proof_circuit_tpu.ops.field_params import Q_MOD, R_MOD
-from aes_zero_knowledge_proof_circuit_tpu.ops.pallas_field import pallas_mul
+from aes_zero_knowledge_proof_circuit_tpu.ops.pallas_field import (
+    pallas_butterfly,
+    pallas_mul,
+)
 
 rng = random.Random(77)
 
@@ -71,6 +74,73 @@ def test_pallas_mul_broadcast_scalar():
     b = jnp.asarray(ints_to_digits(ops, [s])[0])
     got = pallas_mul(ops, a, b[None, :], interpret=INTERP)
     assert digits_to_ints(ops, got) == [x * s % R_MOD for x in av]
+
+
+def _assert_fold_band(ops, arr):
+    """The engine's uniform op contract: digits in (-2, 260) and value
+    < ~6N — anything in this band feeds every other engine op exactly."""
+    a = np.asarray(arr)
+    assert a.min() > -2 and a.max() < 260
+    weights = np.array([pow(2, 8 * i) for i in range(ops.D)], object)
+    vals = (a.astype(object) * weights).sum(axis=-1)
+    assert all(0 <= v < 7 * ops.ctx.modulus for v in vals.reshape(-1))
+
+
+def test_pallas_butterfly_matches_engine():
+    """Fused NTT stage (l + r*tw, l - r*tw): values equal the XLA
+    composition mod r, digits inside the engine's fold band (the raw digit
+    pattern may differ — the kernel's norm-round schedule is its own)."""
+    ops = fr_f32()
+    n = 16
+    lv = [rng.randrange(R_MOD) for _ in range(n)]
+    rv = [rng.randrange(R_MOD) for _ in range(n)]
+    tv = [rng.randrange(R_MOD) for _ in range(n)]
+    l = jnp.asarray(ints_to_digits(ops, lv))
+    r = jnp.asarray(ints_to_digits(ops, rv))
+    tw = jnp.asarray(ints_to_digits(ops, tv))
+    hi, lo = pallas_butterfly(ops, l, r, tw, interpret=INTERP)
+    want_hi = [(x + y * t) % R_MOD for x, y, t in zip(lv, rv, tv)]
+    want_lo = [(x - y * t) % R_MOD for x, y, t in zip(lv, rv, tv)]
+    assert digits_to_ints(ops, hi) == want_hi
+    assert digits_to_ints(ops, lo) == want_lo
+    _assert_fold_band(ops, hi)
+    _assert_fold_band(ops, lo)
+
+
+def test_pallas_butterfly_broadcast_twiddle():
+    """The NTT stages broadcast a [1, half, D] twiddle over n/m groups."""
+    ops = fr_f32()
+    groups, half = 4, 8
+    lv = [rng.randrange(R_MOD) for _ in range(groups * half)]
+    rv = [rng.randrange(R_MOD) for _ in range(groups * half)]
+    tv = [rng.randrange(R_MOD) for _ in range(half)]
+    l = jnp.asarray(ints_to_digits(ops, lv)).reshape(groups, half, ops.D)
+    r = jnp.asarray(ints_to_digits(ops, rv)).reshape(groups, half, ops.D)
+    tw = jnp.asarray(ints_to_digits(ops, tv))[None, :, :]
+    hi, lo = pallas_butterfly(ops, l, r, tw, interpret=INTERP)
+    tv_full = tv * groups
+    want_hi = [(x + y * t) % R_MOD for x, y, t in zip(lv, rv, tv_full)]
+    want_lo = [(x - y * t) % R_MOD for x, y, t in zip(lv, rv, tv_full)]
+    assert digits_to_ints(ops, hi.reshape(-1, ops.D)) == want_hi
+    assert digits_to_ints(ops, lo.reshape(-1, ops.D)) == want_lo
+
+
+def test_ntt_engine_pallas_path_value_exact():
+    """NTTEngine with fused Pallas butterflies == the XLA engine as field
+    values, every output position, both directions (interpret on CPU)."""
+    from aes_zero_knowledge_proof_circuit_tpu.ops.ntt_jax import NTTEngine
+
+    log_n = 5
+    ref = NTTEngine(log_n, use_pallas=False)
+    pal = NTTEngine(log_n, use_pallas=True, interpret=INTERP)
+    ops = ref.ops
+    vals = [rng.randrange(R_MOD) for _ in range(1 << log_n)]
+    x = jnp.asarray(ints_to_digits(ops, vals))
+    assert digits_to_ints(ops, pal.ntt(x)) == digits_to_ints(ops, ref.ntt(x))
+    ev = ref.ntt(x)
+    assert digits_to_ints(ops, pal.intt(ev)) == digits_to_ints(ops, ref.intt(ev))
+    _assert_fold_band(ops, pal.ntt(x))
+    assert digits_to_ints(ops, ref.intt(pal.ntt(x))) == vals
 
 
 def test_pallas_mul_odd_length_padding():

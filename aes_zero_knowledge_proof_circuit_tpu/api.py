@@ -224,10 +224,13 @@ def encrypt(
     rng=None,
     zk: bool = True,
     iv: Optional[bytes] = None,
+    mesh=None,
 ) -> MarlinProof:
     """Prove knowledge of (message, key) for the AES-128 ciphertext
     (src/lib.rs:60-114). The witness is generated by the vectorized trace
-    engine, not by re-synthesizing the circuit. CBC templates require iv."""
+    engine, not by re-synthesizing the circuit. CBC templates require iv.
+    mesh: optional jax.sharding.Mesh — multi-chip proving (sharded
+    4n-domain NTTs + sharded commit MSMs; see JaxProver)."""
     rng = rng or generate_rand()
     tpl = proving_key.template
     require(
@@ -250,6 +253,10 @@ def encrypt(
     if proving_key.backend == "jax":
         from .marlin.prover_jax import JaxProver
 
+        if mesh is not None:
+            return JaxProver(proving_key.marlin_pk, mesh=mesh).prove(
+                instance, witness, rng=rng, zk=zk
+            )
         if proving_key._jax_prover is None:
             proving_key._jax_prover = JaxProver(proving_key.marlin_pk)
         return proving_key._jax_prover.prove(instance, witness, rng=rng, zk=zk)
@@ -318,28 +325,39 @@ def encrypt_batch(
             {"message": m, "key": k})))(jnp.asarray(mb), jnp.asarray(kb))
     )[:batch]
 
-    proofs: List[MarlinProof] = []
-    for i in range(batch):
+    # Per-proof deterministic rngs drawn from the caller's stream up-front
+    # (proofs are generated concurrently below; a shared Random would be
+    # racy and nondeterministic).
+    import random as _random
+
+    seeds = [rng.randrange(1 << 62) for _ in range(batch)]
+
+    def one(i: int) -> MarlinProof:
         z = zs[i]
         instance = [1] + [int(v) for v in z[1 : tpl.r1cs.num_instance]]
         witness = z[tpl.r1cs.num_instance :]
+        prng = _random.Random(seeds[i])
         if proving_key.backend == "jax":
-            from .marlin.prover_jax import JaxProver
+            return proving_key._jax_prover.prove(instance, witness,
+                                                 rng=prng, zk=zk)
+        from .marlin import prover as _prover
 
-            if proving_key._jax_prover is None:
-                proving_key._jax_prover = JaxProver(proving_key.marlin_pk)
-            proofs.append(
-                proving_key._jax_prover.prove(instance, witness, rng=rng,
-                                              zk=zk)
-            )
-        else:
-            from .marlin import prover as _prover
+        return _prover.prove(proving_key.marlin_pk, instance,
+                             [int(v) for v in witness], rng=prng, zk=zk)
 
-            proofs.append(
-                _prover.prove(proving_key.marlin_pk, instance,
-                              [int(v) for v in witness], rng=rng, zk=zk)
-            )
-    return proofs
+    if proving_key.backend == "jax":
+        from .marlin.prover_jax import JaxProver
+
+        if proving_key._jax_prover is None:
+            proving_key._jax_prover = JaxProver(proving_key.marlin_pk)
+        # two-deep proof pipeline: proof i's host-side commit MSMs (native
+        # tier, GIL released) overlap proof i+1's device NTT/sumcheck work
+        # (SURVEY.md §2b "pipeline across AHP rounds", lifted to the batch)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            return list(ex.map(one, range(batch)))
+    return [one(i) for i in range(batch)]
 
 
 def _witness_bits(tpl: Template, message: bytes, key: bytes,

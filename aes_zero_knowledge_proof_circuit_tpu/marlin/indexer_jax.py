@@ -51,11 +51,9 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
     for w in range(r1cs.num_witness):
         var_to_slot[r1cs.num_instance + w] = free_slots[w]
 
-    # commit backend: mirrors JaxProver — "auto" picks the device Pallas
-    # MSM on TPU, the native OpenMP Pippenger elsewhere (when available)
+    # commit backend: mirrors JaxProver — "auto" prefers native (see
+    # prover_jax.JaxProver.__init__ rationale)
     import os as _os
-
-    import jax as _jax
 
     from .. import native as _native
 
@@ -63,10 +61,7 @@ def index_jax(r1cs: R1CS, srs: kzg.SRS) -> MarlinProvingKey:
     native_ok = _native.available() and srs_packed is not None
     choice = _os.environ.get("ZKAES_COMMIT_BACKEND", "auto")
     if choice == "auto":
-        choice = (
-            "device" if _jax.default_backend() == "tpu"
-            else ("native" if native_ok else "device")
-        )
+        choice = "native" if native_ok else "device"
     native_commits = choice == "native" and native_ok
     srs_dev = None if native_commits else DevicePoints(srs.powers_g1)
     h_pows = P.powers(P.scalar(h.omega), n)

@@ -101,22 +101,29 @@ def _rand_mont(rng: _random.Random, n: int) -> jnp.ndarray:
 
 
 class JaxProver:
-    """Device-resident prover bound to one proving key."""
+    """Device-resident prover bound to one proving key.
 
-    def __init__(self, pk: MarlinProvingKey):
+    mesh: optional jax.sharding.Mesh — multi-chip mode (SURVEY.md §2b
+    parallelism components): the outer-sumcheck 4n-domain NTTs run as the
+    four-step sharded NTT (all-to-all between passes) and commit MSMs
+    shard their points across the mesh with a host fold."""
+
+    def __init__(self, pk: MarlinProvingKey, mesh=None):
         self.pk = pk
+        self.mesh = mesh
         self.n = pk.n
         self.log_n = pk.log_n
         self.x_size = pk.x_size
         self.d_max = pk.srs.max_degree
         r1cs = pk.r1cs
 
-        # Commit backend (ZKAES_COMMIT_BACKEND): "auto" (default) picks the
-        # device Pallas MSM on TPU — measured ~20x the 2-core native
-        # OpenMP Pippenger — and the native tier elsewhere (XLA:CPU cannot
-        # compile the point graphs in acceptable time). "native"/"device"
-        # force a tier. The SRS upload for device commits happens once per
-        # prover (DevicePoints) and is reused across proofs.
+        # Commit backend (ZKAES_COMMIT_BACKEND): "auto" (default) prefers
+        # the native OpenMP Pippenger when available — the v1 Pallas bucket
+        # kernel measures ~0.04 Mpoints/s on v5e (latency-bound at 128
+        # lanes; see ops/msm_pallas.py) vs ~0.06 for the 2-core native
+        # tier, so auto flips to the device MSM only where native is
+        # absent. Force with "native"/"device". The SRS upload for device
+        # commits happens once per prover (DevicePoints) and is reused.
         import os as _os
 
         from .. import native as _native
@@ -125,10 +132,7 @@ class JaxProver:
         choice = _os.environ.get("ZKAES_COMMIT_BACKEND", "auto")
         native_ok = _native.available() and self._srs_packed is not None
         if choice == "auto":
-            choice = (
-                "device" if jax.default_backend() == "tpu"
-                else ("native" if native_ok else "device")
-            )
+            choice = "native" if native_ok else "device"
         self._native_commits = choice == "native" and native_ok
         # SRS powers on device (lazy: skipped entirely for native commits;
         # reuse the indexer's upload when present)
@@ -227,7 +231,43 @@ class JaxProver:
             np.tile(ints_to_digits(F, cyc), (h4.n // 4, 1))
         )
 
+    # -- mesh-sharded NTT on the 4n outer-sumcheck domain ------------------
+
+    def _four_step_split(self, log_nn: int):
+        ndev = self.mesh.devices.size
+        log_n1 = max((ndev - 1).bit_length(), log_nn // 2)
+        return log_n1, log_nn - log_n1
+
+    def _ntt4(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        log_nn = self.log_n + 2
+        if self.mesh is None:
+            return P.ntt_to(log_nn, coeffs)
+        from ..parallel.sharded_ntt import ntt_sharded
+
+        log_n1, log_n2 = self._four_step_split(log_nn)
+        return ntt_sharded(self.mesh, P.pad_to(coeffs, 1 << log_nn),
+                           log_n1, log_n2)
+
+    def _intt4(self, evals: jnp.ndarray) -> jnp.ndarray:
+        log_nn = self.log_n + 2
+        if self.mesh is None:
+            return P.intt(log_nn, evals)
+        from ..parallel.sharded_ntt import ntt_sharded
+
+        log_n1, log_n2 = self._four_step_split(log_nn)
+        return ntt_sharded(self.mesh, evals, log_n1, log_n2, inverse=True)
+
     # -- commitment helper -------------------------------------------------
+
+    def _msm_dev(self, offset: int, digits: "jnp.ndarray"):
+        """Device MSM over SRS[offset : offset+len] — mesh-sharded when a
+        mesh is attached (points across chips, host window fold)."""
+        pts = self.srs_dev.slice(offset, digits.shape[0])
+        if self.mesh is not None:
+            from ..parallel.sharded_msm import msm_sharded
+
+            return msm_sharded(self.mesh, pts, digits)
+        return msm_device(pts, digits)
 
     def _commit(self, coeffs_mont: jnp.ndarray, offset: int = 0,
                 hiding: bool = False, rng: Optional[_random.Random] = None):
@@ -241,9 +281,7 @@ class JaxProver:
                 native.limbs16_to_u64(np.asarray(digits)),
             )
         else:
-            point = msm_device(
-                self.srs_dev.slice(offset, digits.shape[0]), digits
-            )
+            point = self._msm_dev(offset, digits)
         rand_poly = None
         if hiding:
             rand_poly = [rng.randrange(R_MOD) for _ in range(2)]
@@ -259,6 +297,7 @@ class JaxProver:
         _commit calls); the native MSMs then run concurrently in a small
         thread pool (ctypes releases the GIL) — SURVEY.md §2b "pipeline
         across AHP rounds": within a round, commits are independent."""
+        t0 = _time.time()
         digits_list = [to_msm_digits(c) for (c, _off, _h) in items]
         rand_list = [
             [rng.randrange(R_MOD) for _ in range(2)] if h else None
@@ -270,6 +309,10 @@ class JaxProver:
             from .. import native
 
             arrs = [np.asarray(d) for d in digits_list]
+            log.info("commit_batch: %d digit fetches (%s rows) in %.1fs",
+                     len(arrs), [a.shape[0] for a in arrs],
+                     _time.time() - t0)
+            t0 = _time.time()
 
             def run(i):
                 off = items[i][1]
@@ -280,12 +323,10 @@ class JaxProver:
 
             with ThreadPoolExecutor(max_workers=2) as ex:
                 pts = list(ex.map(run, range(len(items))))
+            log.info("commit_batch: native MSMs in %.1fs", _time.time() - t0)
         else:
             pts = [
-                msm_device(
-                    self.srs_dev.slice(items[i][1], digits_list[i].shape[0]),
-                    digits_list[i],
-                )
+                self._msm_dev(items[i][1], digits_list[i])
                 for i in range(len(items))
             ]
         out = []
@@ -414,12 +455,11 @@ class JaxProver:
         )
         z_coeffs = P.add(w_vx, x_poly)
 
-        log_n4 = log_n + 2
-        s4 = P.ntt_to(log_n4, s_coeffs)
-        za4 = P.ntt_to(log_n4, za_coeffs)
-        zb4 = P.ntt_to(log_n4, zb_coeffs)
-        t4 = P.ntt_to(log_n4, t_coeffs)
-        z4 = P.ntt_to(log_n4, z_coeffs)
+        s4 = self._ntt4(s_coeffs)
+        za4 = self._ntt4(za_coeffs)
+        zb4 = self._ntt4(zb_coeffs)
+        t4 = self._ntt4(t_coeffs)
+        z4 = self._ntt4(z_coeffs)
         del z_coeffs, w_vx
         denom4 = F.batch_inv(F.sub(alpha_s[None, :], self.h4_pows))
         r4 = F.mul(F.sub(P.scalar(v_h_alpha)[None, :], self.vh_on_h4), denom4)
@@ -432,7 +472,7 @@ class JaxProver:
         del za4, zb4
         q1_4 = F.sub(F.add(s4, F.mul(r4, p4)), F.mul(t4, z4))
         del s4, t4, z4, r4, p4
-        q1 = P.intt(log_n4, q1_4)
+        q1 = self._intt4(q1_4)
         del q1_4
         h1_coeffs, rem = P.div_vanishing(q1, n)
         del q1
@@ -634,9 +674,7 @@ class JaxProver:
                 native.limbs16_to_u64(np.asarray(digits)),
             )
         else:
-            w_point = msm_device(
-                self.srs_dev.slice(0, digits.shape[0]), digits
-            )
+            w_point = self._msm_dev(0, digits)
         rand_eval = 0
         if any_rand:
             wr, rand_eval = poly_div_linear(comb_rand, z)

@@ -46,12 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .curve_host import AffinePoint
 from .curve_jax import JacPoint, jac_add
 from .field_f32 import fq_f32
-from .pallas_field import _norm_val, mul_digits
+from .pallas_field import _norm_val, mul_digits_loop
 
 WINDOW_BITS = 8
-# 256 lanes hit the 16MB VMEM scoped-allocation limit (18.9MB measured:
-# the madd's temporary chain at [lanes, 2D]); 128 leaves ~7MB headroom.
-DEFAULT_LANES = 128
+# With the loop-conv mul (pallas_field.mul_digits_loop) the madd keeps one
+# conv accumulator instead of ~50 live buffers, so 512 lanes fit VMEM —
+# wide rows are what hides the VPU op latency (128 lanes measured only
+# ~0.7us/point/window).
+DEFAULT_LANES = 512
 
 
 # ---------------------------------------------------------------------------
@@ -74,8 +76,8 @@ class _KernelField:
         self.one = one
 
     def mul(self, a, b):
-        return mul_digits(a, b, self.tnp, self.tn, self.twon, self.inv_2n,
-                          self.cw)
+        return mul_digits_loop(a, b, self.tnp, self.tn, self.twon,
+                               self.inv_2n, self.cw)
 
     def _fold(self, x):
         d = self.d
@@ -127,12 +129,21 @@ def _madd_incomplete(f: _KernelField, ax, ay, az, qx, qy, qz):
     return ox, oy, oz
 
 
+# scan-steps processed per grid step: amortizes the ~100us fixed per-grid-
+# step cost (block DMA descriptor setup dominated the first measurement:
+# 2^20 MSM = 262k one-row grid steps = 27s). The chunk iterations run as an
+# in-kernel fori_loop with pl.ds dynamic slices — a python unroll at
+# chunk=16 cost Mosaic >15 min of compile; the loop body compiles once.
+# block quantum per grid step (double-buffered; loop-conv keeps temps flat)
+SCAN_CHUNK = 4
+
+
 def _scan_kernel(px_ref, py_ref, pz_ref, flag_ref, tnp_ref, tn_ref,
                  twon_ref, c16n_ref, cw_ref, one_ref,
                  ox_ref, oy_ref, oz_ref, accx, accy, accz, *,
-                 inv_2n: float):
-    """One grid step = one [lanes, D] segmented accumulate; the VMEM
-    scratch acc persists across the (sequential) TPU grid."""
+                 inv_2n: float, chunk: int):
+    """One grid step = CHUNK sequential [lanes, D] segmented accumulates;
+    the VMEM scratch acc persists across the (sequential) TPU grid."""
     field = _KernelField(tnp_ref[:], tn_ref[:], twon_ref[:], c16n_ref[:],
                          cw_ref[:], one_ref[:], inv_2n)
     i = pl.program_id(0)
@@ -143,32 +154,44 @@ def _scan_kernel(px_ref, py_ref, pz_ref, flag_ref, tnp_ref, tn_ref,
         accy[:] = jnp.zeros_like(accy)
         accz[:] = jnp.zeros_like(accz)
 
-    qx, qy, qz = px_ref[:], py_ref[:], pz_ref[:]
-    flag = flag_ref[:] != 0.0                      # [lanes, 1]
-    sx, sy, sz = _madd_incomplete(
-        field, accx[:], accy[:], accz[:], qx, qy, qz
-    )
-    accx[:] = jnp.where(flag, qx, sx)
-    accy[:] = jnp.where(flag, qy, sy)
-    accz[:] = jnp.where(flag, qz, sz)
-    ox_ref[:] = accx[:]
-    oy_ref[:] = accy[:]
-    oz_ref[:] = accz[:]
+    def body(c, acc):
+        ax, ay, az = acc
+        sl = (pl.ds(c, 1), slice(None), slice(None))
+        qx = px_ref[sl][0]
+        qy = py_ref[sl][0]
+        qz = pz_ref[sl][0]
+        flag = flag_ref[sl][0] != 0.0              # [lanes, 1]
+        sx, sy, sz = _madd_incomplete(field, ax, ay, az, qx, qy, qz)
+        ax = jnp.where(flag, qx, sx)
+        ay = jnp.where(flag, qy, sy)
+        az = jnp.where(flag, qz, sz)
+        ox_ref[sl] = ax[None]
+        oy_ref[sl] = ay[None]
+        oz_ref[sl] = az[None]
+        return ax, ay, az
+
+    acc0 = (accx[0], accy[0], accz[0])             # [lanes, D]
+    ax, ay, az = jax.lax.fori_loop(0, chunk, body, acc0)
+    accx[0] = ax
+    accy[0] = ay
+    accz[0] = az
 
 
 @functools.lru_cache(maxsize=None)
 def _scan_call(d: int, steps: int, lanes: int, interpret: bool):
     ops = fq_f32()
-    row = pl.BlockSpec((1, lanes, d), lambda i: (i, 0, 0),
+    chunk = SCAN_CHUNK if steps % SCAN_CHUNK == 0 else 1
+    row = pl.BlockSpec((chunk, lanes, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    flg = pl.BlockSpec((1, lanes, 1), lambda i: (i, 0, 0),
+    flg = pl.BlockSpec((chunk, lanes, 1), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((steps, lanes, d), jnp.float32)
     call = pl.pallas_call(
-        functools.partial(_scan_kernel, inv_2n=ops.inv_2n_scaled),
-        grid=(steps,),
+        functools.partial(_scan_kernel, inv_2n=ops.inv_2n_scaled,
+                          chunk=chunk),
+        grid=(steps // chunk,),
         in_specs=[
             row, row, row, flg,
             const(d, d), const(d, 2 * d), const(1, d), const(1, d),
@@ -311,7 +334,15 @@ def pallas_window_sums(points: JacPoint, digits16: jnp.ndarray,
         interpret = not on_tpu
     n = digits16.shape[0]
     lanes = min(lanes, max(8, 1 << max(0, (n.bit_length() - 1) // 2)))
-    pad = (-n) % lanes
+    # pad to the next power of two: the chunked scan kernel costs minutes
+    # of Mosaic compile per distinct (steps, lanes) shape, so quantize MSM
+    # lengths to a handful of shapes (2^k), disk-cached once each. Padding
+    # points are infinity and padding digits 0: both absorbed.
+    if n > lanes * SCAN_CHUNK:
+        target = 1 << (n - 1).bit_length()
+    else:
+        target = -(-n // lanes) * lanes
+    pad = target - n
     if pad:
         zp = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]

@@ -62,15 +62,23 @@ def _twiddle_table(ops: F32Ops, log_n: int, inverse: bool) -> jnp.ndarray:
     return hillis_scan(ops.mul, seq)
 
 
-def _pallas_default() -> bool:
-    """Fused Pallas butterflies: default ON for real TPU backends, off on
-    CPU (interpret mode is for tests only). ZKAES_NTT_PALLAS=0/1 overrides."""
+# Above this size the Pallas-butterfly program OOMs XLA's HBM planning:
+# every stage's kernel outputs are [n, 34] tensors lane-padded to 128
+# (3.8x) and buffer assignment keeps ~36 of them live (18GB at 2^20).
+# The XLA path's fused elementwise stages reuse buffers fine.
+PALLAS_MAX_LOG_N = 19
+
+
+def _pallas_default(log_n: int) -> bool:
+    """Fused Pallas butterflies: default ON for real TPU backends up to
+    PALLAS_MAX_LOG_N, off on CPU (interpret mode is for tests only).
+    ZKAES_NTT_PALLAS=0/1 overrides."""
     import os
 
     v = os.environ.get("ZKAES_NTT_PALLAS", "auto")
     if v in ("0", "1"):
         return v == "1"
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and log_n <= PALLAS_MAX_LOG_N
 
 
 class NTTEngine:
@@ -87,7 +95,7 @@ class NTTEngine:
         self.n = 1 << log_n
         self.ops = ops or fr_f32()
         self.use_pallas = (
-            _pallas_default() if use_pallas is None else use_pallas
+            _pallas_default(log_n) if use_pallas is None else use_pallas
         )
         self.interpret = interpret
         self._perm = jax.device_put(_bitrev_perm(log_n))

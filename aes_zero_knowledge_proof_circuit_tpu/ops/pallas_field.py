@@ -58,6 +58,61 @@ def _bf16_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _conv_loop(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook digit convolution t[k] = sum_j a[j] b[k-j] as an
+    in-kernel fori_loop with pltpu.roll (dynamic lane rotate).
+
+    The unrolled pad-ladder keeps ~D live [rows, 2D] buffers on Mosaic's
+    stack (9+ MB at 128 rows, D=50 — the VMEM wall that capped the MSM
+    kernel's lane count); this loop formulation carries ONE accumulator.
+    a's upper D lanes are zero, so a cyclic roll by j < D never wraps
+    nonzero digits."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    d = a.shape[-1]
+    # tpu.dynamic_rotate needs a 128-aligned lane dim; rolling by j < d
+    # keeps a's nonzero digits inside [j, j+d) — no cyclic wrap into the
+    # live region — and the result is sliced back to 2d columns.
+    width = -(-2 * d // 128) * 128
+    a_pad = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, width - d)])
+    lane = jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 1)
+
+    def body(j, t):
+        # b[:, j] via iota-mask reduce (Mosaic has no value dynamic_slice)
+        bj = jnp.sum(jnp.where(lane == j, b, 0.0), axis=-1, keepdims=True)
+        return t + _pltpu.roll(a_pad * bj, j, axis=a.ndim - 1)
+
+    t0 = jnp.zeros(a.shape[:-1] + (width,), jnp.float32)
+    return jax.lax.fori_loop(0, d, body, t0)[..., : 2 * d]
+
+
+def mul_digits_loop(a: jnp.ndarray, b: jnp.ndarray, tn_prime: jnp.ndarray,
+                    tn: jnp.ndarray, two_n: jnp.ndarray, inv_2n: float,
+                    carry_w: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product with the loop-conv (same contract as
+    mul_digits; VMEM-lean for wide-row kernels)."""
+    d = a.shape[-1]
+    t = _norm_val(_conv_loop(a, b), 3)
+    m = _bf16_dot(t[..., :d], tn_prime)
+    m = _norm_val(m, 3)
+    mn = _bf16_dot(m, tn)
+    v = _norm_val(t + mn, 3)
+    carry = jnp.round(jnp.sum(v[..., 0:d] * carry_w, axis=-1))
+    hi = v[..., d : 2 * d]
+    hi = jnp.concatenate(
+        [hi[..., 0:1] + carry[..., None], hi[..., 1:d]], axis=-1
+    )
+    est = (
+        hi[..., d - 1] * 16777216.0
+        + hi[..., d - 2] * 65536.0
+        + hi[..., d - 3] * 256.0
+        + hi[..., d - 4]
+    ) * inv_2n
+    mm = jnp.maximum(jnp.floor(est) - 1.0, 0.0)
+    out = hi - mm[..., None] * two_n
+    return _norm_val(out, 2)
+
+
 def mul_digits(a: jnp.ndarray, b: jnp.ndarray, tn_prime: jnp.ndarray,
                tn: jnp.ndarray, two_n: jnp.ndarray, inv_2n: float,
                carry_w: jnp.ndarray) -> jnp.ndarray:

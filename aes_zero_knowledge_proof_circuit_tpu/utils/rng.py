@@ -27,16 +27,24 @@ class HashDRBG(random.Random):
         self._counter = 0
         self._buf = b""
 
-    def _refill(self) -> None:
+    def _block(self) -> bytes:
         h = hashlib.blake2s(self._key)
         h.update(self._counter.to_bytes(8, "little"))
         self._counter += 1
-        self._buf += h.digest()
+        return h.digest()
 
     def randbytes(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            self._refill()
-        out, self._buf = self._buf[:n], self._buf[n:]
+        # accumulate blocks in a list — `bytes +=` per 32-byte block is
+        # quadratic, and the prover's zk mask draws ~18MB per proof (this
+        # single call was 415 of the 779 warm-prove seconds on TPU)
+        parts = [self._buf]
+        have = len(self._buf)
+        while have < n:
+            b = self._block()
+            parts.append(b)
+            have += len(b)
+        buf = b"".join(parts)
+        out, self._buf = buf[:n], buf[n:]
         return out
 
     def getrandbits(self, k: int) -> int:

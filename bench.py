@@ -55,7 +55,11 @@ def _stage(msg: str) -> None:
 
 
 def _bench_block_proof():
-    """Full prove path: synthesize once (cached), then time encrypt()."""
+    """Full prove path: synthesize once (cached), then time encrypt().
+
+    The warm-proof result is persisted to artifacts/bench_full_path.json as
+    soon as it is measured, so an end-of-round tunnel wedge cannot erase
+    the evidence (round-2 failure mode)."""
     from aes_zero_knowledge_proof_circuit_tpu import api
 
     _stage("synthesize_keys(16) start")
@@ -68,18 +72,27 @@ def _bench_block_proof():
     _stage("warm-up prove done; verifying")
     ct = api.compute_ciphertext(msg, key)
     assert api.verify_encryption(vk, proof, ct), "bench proof failed to verify"
-    _stage("verified; timing loop start")
-    iters = 3
+    _stage("verified; timing warm proof")
     t0 = time.time()
-    for i in range(iters):
-        api.encrypt(msg, key, pk)
-        _stage(f"prove iter {i} done")
-    dt = (time.time() - t0) / iters
-    return {
+    api.encrypt(msg, key, pk)
+    dt = time.time() - t0
+    _stage(f"warm prove done in {dt:.1f}s")
+    result = {
         "metric": "aes128_block_proofs_per_sec",
         "value": round(1.0 / dt, 4),
         "unit": "proofs/s",
     }
+    try:
+        stages = getattr(pk._jax_prover, "last_stage_times", None)
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_full_path.json", "w") as f:
+            json.dump({**result, "warm_prove_seconds": round(dt, 1),
+                       "stage_times": stages,
+                       "recorded": time.strftime("%Y-%m-%dT%H:%MZ",
+                                                 time.gmtime())}, f, indent=1)
+    except Exception:
+        pass
+    return result
 
 
 _PROBE_SRC = """

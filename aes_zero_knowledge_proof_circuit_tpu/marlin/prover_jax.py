@@ -308,22 +308,22 @@ class JaxProver:
 
             from .. import native
 
-            arrs = [np.asarray(d) for d in digits_list]
-            log.info("commit_batch: %d digit fetches (%s rows) in %.1fs",
-                     len(arrs), [a.shape[0] for a in arrs],
-                     _time.time() - t0)
-            t0 = _time.time()
-
+            # fetch INSIDE the worker: item i's digit fetch only blocks on
+            # item i's device pipeline, so earlier items' native MSMs run
+            # on the host while the device still computes later items
+            # (round-3 phase overlap depends on this)
             def run(i):
+                arr = np.asarray(digits_list[i])
                 off = items[i][1]
                 return native.g1_msm_packed(
-                    self._srs_packed[off : off + arrs[i].shape[0]],
-                    native.limbs16_to_u64(arrs[i]),
+                    self._srs_packed[off : off + arr.shape[0]],
+                    native.limbs16_to_u64(arr),
                 )
 
             with ThreadPoolExecutor(max_workers=2) as ex:
                 pts = list(ex.map(run, range(len(items))))
-            log.info("commit_batch: native MSMs in %.1fs", _time.time() - t0)
+            log.info("commit_batch: %d fetches+native MSMs in %.1fs",
+                     len(items), _time.time() - t0)
         else:
             pts = [
                 self._msm_dev(items[i][1], digits_list[i])
@@ -495,12 +495,16 @@ class JaxProver:
         v_h_beta1 = h.vanishing_eval(beta1)
         scale_int = v_h_alpha * v_h_beta1 % R_MOD
         beta1_s = P.scalar(beta1)
-        sigmas: List[int] = []
         g2_list, h2_list, g2_shifts = [], [], []
         comm_g2, comm_g2s, comm_h2 = [], [], []
         from ..ops.field_params import fr_multiplicative_generator
 
         g_cos = fr_multiplicative_generator()
+        # Phase 1: queue all three matrices' polynomial pipelines on the
+        # device WITHOUT host syncs, so phase 2's native commit MSMs (host
+        # CPU) overlap the later matrices' device NTT/inversion work —
+        # SURVEY.md §2b "pipeline across AHP rounds", within round 3.
+        sigma_handles = []
         for md in self.mat:
             k, log_k = md["k"], md["log_k"]
             row_evals = self.h_pows[md["row_slots"]]
@@ -519,7 +523,7 @@ class JaxProver:
                 F.batch_inv(b_vals),
             )
             del b_vals, val_norm
-            sigma = digits_to_ints(F, P.tree_sum(f_vals)[None, :])[0]
+            sigma_handles.append(P.tree_sum(f_vals))
             f_coeffs = P.intt(log_k, f_vals)
             del f_vals
             g2 = f_coeffs[1:]
@@ -550,13 +554,21 @@ class JaxProver:
             del a2, b2, f2
             h2 = P.intt_coset(log_k2, h2_evals, g_cos)[: 2 * k - 2]
             del h2_evals
-            g2_shift = d_max - (k - 2)
-            g2_shifts.append(g2_shift)
-            ((cg2, _), (cg2s, _), (ch2, _)) = self._commit_batch(
-                [(g2, 0, False), (g2, g2_shift, False), (h2, 0, False)])
-            sigmas.append(sigma)
+            g2_shifts.append(d_max - (k - 2))
             g2_list.append(g2)
             h2_list.append(h2)
+        # Phase 2: all 9 commits in one batch — matrix A's digit fetch
+        # blocks only on A's polys; its native MSMs then run while the
+        # device drains B's and C's pipelines. Transcript absorption keeps
+        # the exact per-matrix order (byte-identical FS stream).
+        sigmas = [digits_to_ints(F, s[None, :])[0] for s in sigma_handles]
+        commit_items = []
+        for g2, h2, shift in zip(g2_list, h2_list, g2_shifts):
+            commit_items += [(g2, 0, False), (g2, shift, False),
+                             (h2, 0, False)]
+        flat = self._commit_batch(commit_items)
+        for i, sigma in enumerate(sigmas):
+            (cg2, _), (cg2s, _), (ch2, _) = flat[3 * i : 3 * i + 3]
             comm_g2.append(cg2)
             comm_g2s.append(cg2s)
             comm_h2.append(ch2)

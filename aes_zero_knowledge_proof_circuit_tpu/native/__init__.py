@@ -49,11 +49,27 @@ def lib() -> Optional[ctypes.CDLL]:
         if os.environ.get("ZKAES_NO_NATIVE"):
             return None
         try:
-            so = os.path.join(_build_dir(), "libzkhost.so")
+            # -march=native output is host-specific: key the artifact by
+            # the CPU's flag set so a different machine rebuilds (~3s)
+            # instead of hitting SIGILL on a cached foreign binary.
+            import hashlib as _hl
+            import platform as _pf
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = [ln for ln in f if ln.startswith("flags")][:1]
+                fp = _hl.blake2s(
+                    (_pf.machine() + "".join(flags)).encode(),
+                    digest_size=6,
+                ).hexdigest()
+            except OSError:
+                fp = _pf.machine()
+            so = os.path.join(_build_dir(), f"libzkhost_{fp}.so")
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(_SRC)):
                 tmp = so + ".tmp"
-                cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+                       "-shared", "-fPIC", "-std=c++17",
                        "-fopenmp", _SRC, "-o", tmp]
                 try:
                     subprocess.run(cmd, check=True, capture_output=True,

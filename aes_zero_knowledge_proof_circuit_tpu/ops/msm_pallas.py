@@ -46,14 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .curve_host import AffinePoint
 from .curve_jax import JacPoint, jac_add
 from .field_f32 import fq_f32
-from .pallas_field import _norm_val, mul_digits_loop
+from .pallas_field import _norm_val, mul_digits
 
 WINDOW_BITS = 8
-# With the loop-conv mul (pallas_field.mul_digits_loop) the madd keeps one
-# conv accumulator instead of ~50 live buffers, so 512 lanes fit VMEM —
-# wide rows are what hides the VPU op latency (128 lanes measured only
-# ~0.7us/point/window).
-DEFAULT_LANES = 512
+# 256 lanes exceed the 16MB scoped-VMEM limit (the unrolled madd keeps
+# ~180 conv buffers live on Mosaic's stack). The loop-conv variant
+# (pallas_field.mul_digits_loop) fits 512 lanes but measured SLOWER —
+# its 50 sequential fori iterations serialize on VPU op latency that the
+# unrolled form lets Mosaic interleave. Measured on one v5e: ~0.04
+# Mpoints/s — roughly the 2-core native OpenMP tier; prover commits
+# therefore default to native (prover_jax) until this kernel wins.
+DEFAULT_LANES = 128
 
 
 # ---------------------------------------------------------------------------
@@ -76,8 +79,8 @@ class _KernelField:
         self.one = one
 
     def mul(self, a, b):
-        return mul_digits_loop(a, b, self.tnp, self.tn, self.twon,
-                               self.inv_2n, self.cw)
+        return mul_digits(a, b, self.tnp, self.tn, self.twon, self.inv_2n,
+                          self.cw)
 
     def _fold(self, x):
         d = self.d

@@ -143,6 +143,50 @@ def test_ntt_engine_pallas_path_value_exact():
     assert digits_to_ints(ops, ref.intt(pal.ntt(x))) == vals
 
 
+def test_mul_digits_loop_matches_engine():
+    """The loop-conv Montgomery product (fori + aligned pltpu.roll; the
+    VMEM-lean alternative used to explore wider MSM lanes) is value-exact
+    vs the engine. Runs the kernel math directly (pure jnp + interpretable
+    roll) via a tiny pallas_call in interpret mode."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aes_zero_knowledge_proof_circuit_tpu.ops.pallas_field import (
+        mul_digits_loop,
+    )
+
+    ops = fq_f32()
+    d = ops.D
+    n = 8
+    av = [rng.randrange(Q_MOD) for _ in range(n)]
+    bv = [rng.randrange(Q_MOD) for _ in range(n)]
+    a = jnp.asarray(ints_to_digits(ops, av))
+    b = jnp.asarray(ints_to_digits(ops, bv))
+
+    def kern(a_ref, b_ref, tnp, tn, twon, cw, o_ref):
+        o_ref[:] = mul_digits_loop(
+            a_ref[:], b_ref[:], tnp[:], tn[:], twon[:],
+            ops.inv_2n_scaled, cw[:],
+        )
+
+    spec = lambda r, c: pl.BlockSpec((r, c), lambda: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[spec(n, d), spec(n, d), spec(d, d), spec(d, 2 * d),
+                  spec(1, d), spec(1, d)],
+        out_specs=spec(n, d),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=True,
+    )
+    got = call(a, b, ops.t_nprime, ops.t_n, ops.two_n.reshape(1, d),
+               ops.carry_w.reshape(1, d))
+    assert digits_to_ints(ops, got) == [
+        x * y % Q_MOD for x, y in zip(av, bv)
+    ]
+
+
 def test_pallas_mul_odd_length_padding():
     ops = fr_f32()
     n = 13  # not a multiple of any tile size

@@ -352,11 +352,17 @@ def encrypt_batch(
             proving_key._jax_prover = JaxProver(proving_key.marlin_pk)
         # two-deep proof pipeline: proof i's host-side commit MSMs (native
         # tier, GIL released) overlap proof i+1's device NTT/sumcheck work
-        # (SURVEY.md §2b "pipeline across AHP rounds", lifted to the batch)
-        from concurrent.futures import ThreadPoolExecutor
+        # (SURVEY.md §2b "pipeline across AHP rounds", lifted to the batch).
+        # Measured 0.90x on a 2-CPU host (both proofs' OpenMP MSMs fight
+        # for the same cores — artifacts/cbc_batch_tpu.json), so the
+        # pipeline engages only when host cores exist to absorb it.
+        import os as _os
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            return list(ex.map(one, range(batch)))
+        if (_os.cpu_count() or 1) >= 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                return list(ex.map(one, range(batch)))
     return [one(i) for i in range(batch)]
 
 

@@ -50,7 +50,7 @@ def main() -> None:
     log.info("CBC verify: %s", ok)
     assert ok, "CBC proof must verify"
     bad = bytearray(ct)
-    bad[17] ^= 1
+    bad[len(bad) // 2 + 1] ^= 1
     assert not api.verify_encryption(vk_cbc, proof, bytes(bad), iv=iv)
     bad_iv = bytearray(iv)
     bad_iv[0] ^= 1

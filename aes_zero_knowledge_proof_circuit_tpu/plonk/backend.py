@@ -221,7 +221,11 @@ def prove(pk: PlonkProvingKey, assignment: Dict[int, int],
                    (b"s1", ev_s1), (b"s2", ev_s2), (b"zw", ev_zw)):
         t.absorb_fr(lbl, e)
     v = t.challenge_fr(b"v")
-    u = t.challenge_fr(b"u")
+    # NOTE: the multipoint challenge u is drawn only AFTER the round-5
+    # opening commitments W_zeta/W_zeta_omega are absorbed (GWC19 round
+    # ordering). Drawing it here would let a malicious prover choose the
+    # W commitments as a function of u and forge openings; the prover
+    # itself never needs u, so it is derived by the verifier only.
 
     # ---- round 5: linearization + openings -------------------------------
     zh_zeta = (pow(zeta, n, R_MOD) - 1) % R_MOD
@@ -309,6 +313,13 @@ def verify(vk: PlonkVerifyingKey, proof: PlonkProof,
                    (b"s2", proof.eval_s2), (b"zw", proof.eval_zw)):
         t.absorb_fr(lbl, e)
     v = t.challenge_fr(b"v")
+    # u binds the two opening proofs together; it MUST be drawn after
+    # W_zeta / W_zeta_omega are fixed in the transcript (GWC19), else a
+    # prover knowing u in advance can pick W_zeta_omega to cancel false
+    # evaluations in the pairing check (see tests/test_plonk.py forgery
+    # regression).
+    t.absorb_g1(b"wz", proof.w_zeta.point)
+    t.absorb_g1(b"wzw", proof.w_zeta_omega.point)
     u = t.challenge_fr(b"u")
 
     zh_zeta = (pow(zeta, n, R_MOD) - 1) % R_MOD

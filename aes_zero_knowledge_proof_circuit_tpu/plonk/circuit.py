@@ -23,7 +23,7 @@ are filled per proof.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..ops.field_params import R_MOD, fr_multiplicative_generator, root_of_unity

@@ -45,6 +45,76 @@ def test_native_msm_edge_cases():
     assert native.g1_msm([g, g.neg()], [1, 1]) == ch.g1_infinity()
 
 
+def _pack_points(pts):
+    """Affine points -> the [N, 2, 24] u32 16-bit-limb layout
+    g1_msm_packed consumes (infinity = all-zero row)."""
+    import numpy as np
+
+    packed = np.zeros((len(pts), 2, 24), np.uint32)
+    for i, p in enumerate(pts):
+        if p.inf:
+            continue
+        for j in range(24):
+            packed[i, 0, j] = (p.x >> (16 * j)) & 0xFFFF
+            packed[i, 1, j] = (p.y >> (16 * j)) & 0xFFFF
+    return packed
+
+
+def _scalars_u64(scalars):
+    import numpy as np
+
+    out = np.zeros((len(scalars), 4), np.uint64)
+    for i, s in enumerate(scalars):
+        s %= R_MOD
+        for k in range(4):
+            out[i, k] = (s >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+@pytest.mark.parametrize("c", [0, 4, 6, 9, 13, 16])
+def test_native_msm_limb16_differential(c):
+    """Pin the signed-digit batch-affine MSM (the prover's main commit
+    path, zk_g1_msm_limb16) to the Python oracle across the edge cases
+    the collision-deferral/double/cancel sweep must survive: duplicate
+    points (forced bucket doubles), negated points (cancellation to
+    infinity inside a bucket), infinity rows, equal scalars (forced
+    same-bucket collisions), zero / one / r-1 scalars — over a sweep of
+    window sizes including the auto choice (c=0)."""
+    rng = random.Random(20260821 + c)
+    g = ch.g1_generator()
+    base = [g.mul_scalar(rng.randrange(1, 2**48)) for _ in range(24)]
+    pts = list(base)
+    pts += [base[0], base[0]]            # duplicates
+    pts += [base[1].neg(), base[1]]      # P and -P
+    pts += [ch.g1_infinity(), ch.g1_infinity()]  # infinity rows
+    pts += [base[2], base[3], base[4]]   # equal-scalar collision group
+    scalars = [rng.randrange(R_MOD) for _ in range(24)]
+    scalars += [7, 7]                    # duplicate point, same digit
+    s = rng.randrange(R_MOD)
+    scalars += [s, s]                    # -P and P with equal scalars
+    scalars += [rng.randrange(R_MOD), 0]
+    scalars += [123456789] * 3           # forced bucket collisions
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = R_MOD - 1
+    got = native.g1_msm_packed(_pack_points(pts), _scalars_u64(scalars),
+                               window_bits=c)
+    assert got is not None
+    want = msm_host._msm_python(pts, [x % R_MOD for x in scalars])
+    assert got == want
+
+
+def test_native_msm_limb16_all_cancel():
+    """An MSM whose every bucket cancels to infinity returns infinity."""
+    g = ch.g1_generator()
+    pts = [g, g.neg(), ch.g1_infinity()]
+    scalars = [5, 5, 99]
+    got = native.g1_msm_packed(_pack_points(pts), _scalars_u64(scalars),
+                               window_bits=4)
+    assert got is not None
+    assert got == ch.g1_infinity()
+
+
 def test_native_scale_base_matches_mul_scalar():
     rng = random.Random(7)
     g = ch.g1_generator()

@@ -94,7 +94,13 @@ def prove(
     rng: Optional[_random.Random] = None,
     zk: bool = True,
     msm_fn=None,
+    ntt4_fn=None,
 ) -> MarlinProof:
+    """msm_fn(points, scalars) and ntt4_fn(values, inverse) are pluggable
+    backends for the commit MSMs and the 4n-domain outer-sumcheck NTTs —
+    tests inject the host oracle, the multi-chip dry run injects the
+    mesh-sharded device programs (parallel/sharded_{msm,ntt}) so one
+    orchestration body drives every tier (SURVEY.md §2b parallelism)."""
     rng = rng or _random.Random()
     msm_kwargs = {"msm_fn": msm_fn} if msm_fn else {}
     r1cs = pk.r1cs
@@ -182,11 +188,17 @@ def prove(
     z_coeffs = poly_add(w_vx, x_poly)
 
     # q1 on the 4n grid
-    s4 = h4.ntt(s_coeffs)
-    za4 = h4.ntt(za_coeffs)
-    zb4 = h4.ntt(zb_coeffs)
-    t4 = h4.ntt(t_coeffs)
-    z4 = h4.ntt(z_coeffs)
+    if ntt4_fn is not None:
+        pad4 = lambda c: list(c) + [0] * (h4.n - len(c))
+        ntt4 = lambda c: ntt4_fn(pad4(c), False)
+        intt4 = lambda e: ntt4_fn(list(e), True)
+    else:
+        ntt4, intt4 = h4.ntt, h4.intt
+    s4 = ntt4(s_coeffs)
+    za4 = ntt4(za_coeffs)
+    zb4 = ntt4(zb_coeffs)
+    t4 = ntt4(t_coeffs)
+    z4 = ntt4(z_coeffs)
     # r(alpha, x) = (v_H(alpha) - v_H(x)) / (alpha - x) on the 4n grid
     elts4 = h4.elements
     # v_H(x) on H4 cycles with period 4: x^n = (w4n^i)^n = i-th power of 4th root
@@ -198,7 +210,7 @@ def prove(
         r_ax = (v_h_alpha - vh_cycle[i & 3]) % R_MOD * denom4[i] % R_MOD
         p = (eta_a * za4[i] + eta_b * zb4[i] + eta_c * za4[i] * zb4[i]) % R_MOD
         q1_4.append((s4[i] + r_ax * p - t4[i] * z4[i]) % R_MOD)
-    q1_coeffs = h4.intt(q1_4)
+    q1_coeffs = intt4(q1_4)
     h1_coeffs, rem = poly_div_vanishing(q1_coeffs, n)
     rem = list(rem) + [0] * (n - len(rem))
     assert rem[0] == 0, "outer sumcheck sum nonzero (bad witness or mask)"

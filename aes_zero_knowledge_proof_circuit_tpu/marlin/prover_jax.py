@@ -588,20 +588,21 @@ class JaxProver:
         st.mark("r3_polys_commits")
 
         # ---- evaluations -------------------------------------------------
-        def ev(p: jnp.ndarray, z: int) -> int:
-            return digits_to_ints(F, P.eval_at(p, P.scalar(z))[None, :])[0]
-
-        evals_beta1 = [
-            ev(w_hat, beta1), ev(za_coeffs, beta1), ev(zb_coeffs, beta1),
-            ev(s_coeffs, beta1), ev(t_coeffs, beta1), ev(g1_coeffs, beta1),
-            ev(h1_coeffs, beta1),
-        ]
-        evals_beta2 = []
+        # ONE device dispatch per evaluation point (plus one shared
+        # canonicalization fetch) instead of 22 separate eval_at round
+        # trips — the per-dispatch tunnel latency dominated this stage
+        # (7.6s of the round-3 warm proof; VERDICT round-3 weak #5).
+        b1_polys = (w_hat, za_coeffs, zb_coeffs, s_coeffs, t_coeffs,
+                    g1_coeffs, h1_coeffs)
+        b2_polys = []
         for md, g2, h2 in zip(self.mat, g2_list, h2_list):
-            evals_beta2.append([
-                ev(md["row_coeffs"], beta2), ev(md["col_coeffs"], beta2),
-                ev(md["val_coeffs"], beta2), ev(g2, beta2), ev(h2, beta2),
-            ])
+            b2_polys += [md["row_coeffs"], md["col_coeffs"],
+                         md["val_coeffs"], g2, h2]
+        rows1 = self._eval_many(b1_polys, P.scalar(beta1))
+        rows2 = self._eval_many(tuple(b2_polys), P.scalar(beta2))
+        all_ints = digits_to_ints(F, jnp.concatenate([rows1, rows2]))
+        evals_beta1 = all_ints[:7]
+        evals_beta2 = [all_ints[7 + 5 * i : 12 + 5 * i] for i in range(3)]
         t.absorb_fr_list(b"evals_beta1", evals_beta1)
         for e in evals_beta2:
             t.absorb_fr_list(b"evals_beta2", e)
@@ -637,6 +638,19 @@ class JaxProver:
             comm_h2=comm_h2, sigmas=sigmas, evals_beta1=evals_beta1,
             evals_beta2=evals_beta2, open_beta1=open_beta1,
             open_beta2=open_beta2,
+        )
+
+    # -- batched evaluation ------------------------------------------------
+
+    @staticmethod
+    @jax.jit
+    def _eval_many(polys, z_dig):
+        """[len(polys), D] rows of p_i(z): one powers ladder shared by all
+        polys, one dispatch total (shapes are static per circuit)."""
+        max_len = max(p.shape[0] for p in polys)
+        zpow = P._powers_body(z_dig, max_len)
+        return jnp.stack(
+            [P._tree_sum_body(F.mul(p, zpow[: p.shape[0]])) for p in polys]
         )
 
     # -- batched opening on device ----------------------------------------

@@ -153,14 +153,13 @@ def _window_sums(points: JacPoint, digits16: jnp.ndarray,
         )
         return _tree_reduce_sum(tail)
 
-    # python loop over windows; inner scans are python recursions over the
-    # platform-granular combine, so nothing large reaches the XLA compiler
-    outs = [one_window(digits[:, w]) for w in range(digits.shape[1])]
-    return JacPoint(
-        jnp.stack([o.x for o in outs]),
-        jnp.stack([o.y for o in outs]),
-        jnp.stack([o.z for o in outs]),
-    )
+    # ALL windows in one batched op stream (vmap over the window axis).
+    # The previous per-window Python loop multiplied the eager dispatch
+    # count by num_windows — ~105s per 8-shard mesh MSM on the CPU-mesh
+    # dryrun (round-4 faulthandler trace pinned it inside one_window's
+    # hillis levels) — and, inside the TPU shard_map jit, unrolled the
+    # graph 64x. vmap keeps one window's op count with batched shapes.
+    return jax.vmap(one_window, in_axes=1, out_axes=0)(digits)
 
 
 def scalars_to_digit_limbs(scalars: Sequence[int]) -> np.ndarray:

@@ -134,6 +134,17 @@ class JaxProver:
         if choice == "auto":
             choice = "native" if native_ok else "device"
         self._native_commits = choice == "native" and native_ok
+        # Hybrid commit scheduling (ZKAES_HYBRID_SHARE): route a slice of
+        # each commit batch to the device MSM so the TPU and both host
+        # cores work concurrently. MEASURED NET-NEGATIVE on this host
+        # (warm 16B prove 196.6s at share=0.3 vs 126.9s native-only): the
+        # device bucket-scan's per-window host dispatches starve when the
+        # two native OpenMP threads saturate both cores, tripling its
+        # effective latency. Default 0 (off); the knob stays for hosts
+        # with spare cores, where share = dev_rate/(dev_rate+native_rate)
+        # is the balanced split.
+        self._device_share = float(
+            _os.environ.get("ZKAES_HYBRID_SHARE", "0") or "0")
         # SRS powers on device (lazy: skipped entirely for native commits;
         # reuse the indexer's upload when present)
         self._srs_dev = getattr(pk, "_srs_dev", None)
@@ -308,11 +319,29 @@ class JaxProver:
 
             from .. import native
 
+            # Hybrid split: hand the device MSM a ~device_share slice of
+            # the batch's total points (largest items first — fewer
+            # dispatches per point) while both host cores run the native
+            # tier on the rest. The device worker's fetch releases the
+            # GIL, so all three lanes genuinely overlap.
+            sizes = [digits_list[i].shape[0] for i in range(len(items))]
+            device_set: set = set()
+            if self._device_share > 0 and len(items) > 1:
+                budget = self._device_share * sum(sizes)
+                for i in sorted(range(len(items)),
+                                key=lambda j: -sizes[j]):
+                    if budget <= 0:
+                        break
+                    device_set.add(i)
+                    budget -= sizes[i]
+
             # fetch INSIDE the worker: item i's digit fetch only blocks on
             # item i's device pipeline, so earlier items' native MSMs run
             # on the host while the device still computes later items
             # (round-3 phase overlap depends on this)
             def run(i):
+                if i in device_set:
+                    return self._msm_dev(items[i][1], digits_list[i])
                 arr = np.asarray(digits_list[i])
                 off = items[i][1]
                 return native.g1_msm_packed(
@@ -320,10 +349,17 @@ class JaxProver:
                     native.limbs16_to_u64(arr),
                 )
 
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                pts = list(ex.map(run, range(len(items))))
-            log.info("commit_batch: %d fetches+native MSMs in %.1fs",
-                     len(items), _time.time() - t0)
+            workers = 3 if device_set else 2
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                # device items first so the TPU pipeline fills while the
+                # native workers start on the host slice
+                order = sorted(range(len(items)),
+                               key=lambda i: (i not in device_set, i))
+                fmap = {i: ex.submit(run, i) for i in order}
+                pts = [fmap[i].result() for i in range(len(items))]
+            log.info(
+                "commit_batch: %d MSMs (%d on device) in %.1fs",
+                len(items), len(device_set), _time.time() - t0)
         else:
             pts = [
                 self._msm_dev(items[i][1], digits_list[i])

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .curve_host import AffinePoint
 from .curve_jax import JacPoint, jac_add
 from .field_f32 import fq_f32
-from .pallas_field import _norm_val, mul_digits
+from .pallas_field import _norm_val, mul_digits, mul_digits_loop
 
 WINDOW_BITS = 8
 # 256 lanes exceed the 16MB scoped-VMEM limit (the unrolled madd keeps
@@ -68,7 +68,8 @@ class _KernelField:
     """In-kernel Fq math over loaded constant values (Pallas requires
     constants to enter as kernel inputs, not captures)."""
 
-    def __init__(self, tnp, tn, twon, c16n, cw, one, inv_2n: float):
+    def __init__(self, tnp, tn, twon, c16n, cw, one, inv_2n: float,
+                 loop_conv: bool = False):
         self.d = tnp.shape[0]
         self.tnp = tnp
         self.tn = tn
@@ -77,10 +78,11 @@ class _KernelField:
         self.cw = cw
         self.inv_2n = inv_2n
         self.one = one
+        self._mul = mul_digits_loop if loop_conv else mul_digits
 
     def mul(self, a, b):
-        return mul_digits(a, b, self.tnp, self.tn, self.twon, self.inv_2n,
-                          self.cw)
+        return self._mul(a, b, self.tnp, self.tn, self.twon, self.inv_2n,
+                         self.cw)
 
     def _fold(self, x):
         d = self.d
@@ -144,11 +146,11 @@ SCAN_CHUNK = 4
 def _scan_kernel(px_ref, py_ref, pz_ref, flag_ref, tnp_ref, tn_ref,
                  twon_ref, c16n_ref, cw_ref, one_ref,
                  ox_ref, oy_ref, oz_ref, accx, accy, accz, *,
-                 inv_2n: float, chunk: int):
+                 inv_2n: float, chunk: int, loop_conv: bool):
     """One grid step = CHUNK sequential [lanes, D] segmented accumulates;
     the VMEM scratch acc persists across the (sequential) TPU grid."""
     field = _KernelField(tnp_ref[:], tn_ref[:], twon_ref[:], c16n_ref[:],
-                         cw_ref[:], one_ref[:], inv_2n)
+                         cw_ref[:], one_ref[:], inv_2n, loop_conv=loop_conv)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -181,9 +183,14 @@ def _scan_kernel(px_ref, py_ref, pz_ref, flag_ref, tnp_ref, tn_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_call(d: int, steps: int, lanes: int, interpret: bool):
+def _scan_call(d: int, steps: int, lanes: int, interpret: bool,
+               chunk: int | None = None, loop_conv: bool | None = None):
     ops = fq_f32()
-    chunk = SCAN_CHUNK if steps % SCAN_CHUNK == 0 else 1
+    if chunk is None:
+        chunk = SCAN_CHUNK
+    if loop_conv is None:
+        loop_conv = lanes > 128
+    chunk = chunk if steps % chunk == 0 else 1
     row = pl.BlockSpec((chunk, lanes, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     flg = pl.BlockSpec((chunk, lanes, 1), lambda i: (i, 0, 0),
@@ -193,7 +200,7 @@ def _scan_call(d: int, steps: int, lanes: int, interpret: bool):
     shp = jax.ShapeDtypeStruct((steps, lanes, d), jnp.float32)
     call = pl.pallas_call(
         functools.partial(_scan_kernel, inv_2n=ops.inv_2n_scaled,
-                          chunk=chunk),
+                          chunk=chunk, loop_conv=loop_conv),
         grid=(steps // chunk,),
         in_specs=[
             row, row, row, flg,

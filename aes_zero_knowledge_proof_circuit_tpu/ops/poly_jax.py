@@ -50,14 +50,87 @@ def scale(p: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return F.mul(p, s[None, :])
 
 
+# Above this log-size the monolithic radix-2 program's working set
+# exceeds HBM (the 64-byte config's 4n domain is 2^22: [4M, 34] f32
+# stage tensors OOM'd at 23.5 GB on a 16 GB v5e); route through the
+# chunked four-step decomposition instead.
+import os as _os
+
+FOURSTEP_LOG = int(_os.environ.get("ZKAES_NTT_FOURSTEP_LOG", "21"))
+
+
 def ntt_to(log_n: int, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate a dpoly (len <= 2^log_n) on the canonical 2^log_n domain."""
+    if log_n > FOURSTEP_LOG:
+        return _four_step_local(log_n, coeffs, inverse=False)
     eng = ntt_engine(log_n)
     return eng.ntt(pad_to(coeffs, eng.n))
 
 
 def intt(log_n: int, evals: jnp.ndarray) -> jnp.ndarray:
+    if log_n > FOURSTEP_LOG:
+        return _four_step_local(log_n, evals, inverse=True)
     return ntt_engine(log_n).intt(evals)
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_prog(log_sub: int, inverse: bool, post_twiddle: bool):
+    """Jitted one-chunk program of the four-step NTT: a batched local
+    (i)NTT along axis 0 of [n_sub, C, D], optionally followed by the
+    inter-pass twiddle multiply."""
+    from ..parallel.sharded_ntt import _batched_ntt
+
+    def run(chunk, tw_chunk, args):
+        out = _batched_ntt(log_sub, chunk, inverse, args)
+        if post_twiddle:
+            out = F.mul(out, tw_chunk)
+        return out
+
+    return jax.jit(run, static_argnames=())
+
+
+def _four_step_local(log_n: int, x: jnp.ndarray, inverse: bool,
+                     max_chunk_cols: int = 256) -> jnp.ndarray:
+    """Single-chip Bailey four-step (i)NTT for HBM-constrained domains.
+
+    Identical math to parallel/sharded_ntt.py (which shards the n1 axis
+    over a mesh); here the two batched passes run in COLUMN CHUNKS so the
+    peak device footprint is ~2 full copies + one chunk instead of the
+    monolithic program's ~30 stage buffers (the 2^22 OOM)."""
+    from ..parallel.sharded_ntt import _engine_args, _twiddle_matrix
+
+    log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n = n1 * n2
+    a = pad_to(x, n).reshape(n2, n1, D)
+    args1 = _engine_args(log_n1, inverse)
+    args2 = _engine_args(log_n2, inverse)
+    tw = jnp.asarray(_twiddle_matrix(log_n1, log_n2, inverse))
+
+    # pass 1: NTT_n2 along axis 0, then twiddle — chunked over n1 columns
+    c1 = min(max_chunk_cols, n1)
+    prog1 = _chunk_prog(log_n2, inverse, True)
+    parts = [
+        prog1(a[:, c0 : c0 + c1], tw[:, c0 : c0 + c1], args2)
+        for c0 in range(0, n1, c1)
+    ]
+    b = jnp.concatenate(parts, axis=1)
+    del a, parts
+    ct = jnp.transpose(b, (1, 0, 2))               # [n1, n2, D]
+    del b
+
+    # pass 2: NTT_n1 along axis 0 — chunked over n2 columns
+    c2 = min(max_chunk_cols, n2)
+    prog2 = _chunk_prog(log_n1, inverse, False)
+    parts = [
+        prog2(ct[:, c0 : c0 + c2], None, args1)
+        for c0 in range(0, n2, c2)
+    ]
+    out = jnp.concatenate(parts, axis=1)
+    # d[k1][k2] = X[k1*n2 + k2]: row-major flatten IS the output order
+    # (inverse: both passes scale by 1/n1 and 1/n2 -> total 1/n)
+    return out.reshape(n, D)
 
 
 @functools.lru_cache(maxsize=None)

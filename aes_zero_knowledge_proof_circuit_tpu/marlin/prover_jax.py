@@ -41,6 +41,13 @@ D = F.D
 log = logging.getLogger(__name__)
 
 
+@functools.lru_cache(maxsize=None)
+def _prefix_add_j():
+    from ..ops.scan_utils import hillis_scan
+
+    return jax.jit(lambda x: hillis_scan(F.add, x))
+
+
 class _StageTimer:
     """Per-stage prover timing (SURVEY.md §5: per-kernel/stage counters).
 
@@ -680,7 +687,7 @@ class JaxProver:
 
     @staticmethod
     @jax.jit
-    def _eval_many(polys, z_dig):
+    def _eval_many_j(polys, z_dig):
         """[len(polys), D] rows of p_i(z): one powers ladder shared by all
         polys, one dispatch total (shapes are static per circuit)."""
         max_len = max(p.shape[0] for p in polys)
@@ -688,6 +695,30 @@ class JaxProver:
         return jnp.stack(
             [P._tree_sum_body(F.mul(p, zpow[: p.shape[0]])) for p in polys]
         )
+
+    @classmethod
+    def _eval_many(cls, polys, z_dig):
+        """Size dispatch: the fused single program above BIG_SCAN_N rows
+        builds a scan graph that OOMs HBM (the 64-byte config's h1 is
+        2^21+2 long); chunk the powers ladder and accumulate per-poly
+        partial sums instead (~2 x npolys dispatches per chunk)."""
+        max_len = max(p.shape[0] for p in polys)
+        if max_len <= P.BIG_SCAN_N:
+            return cls._eval_many_j(polys, z_dig)
+        chunks = P.powers_chunks(z_dig, max_len)
+        accs = [None] * len(polys)
+        c0 = 0
+        for zc in chunks:
+            cl = zc.shape[0]
+            for pi, p in enumerate(polys):
+                if p.shape[0] <= c0:
+                    continue
+                seg = p[c0 : c0 + cl]
+                part = P.tree_sum(F.mul(seg, zc[: seg.shape[0]]))
+                accs[pi] = part if accs[pi] is None else F.add(accs[pi],
+                                                              part)
+            c0 += cl
+        return jnp.stack(accs)
 
     # -- batched opening on device ----------------------------------------
 
@@ -716,6 +747,38 @@ class JaxProver:
         # top coefficient w_{max_len-1} is 0 by construction; drop it
         return w_coeffs[: max_len - 1]
 
+    def _open_quotient_big(self, polys, xi_rows, z_pair, offsets,
+                           max_len: int):
+        """Chunked variant of _open_quotient for max_len beyond the
+        single-program scan window (the 64-byte config's opens span the
+        full 2^22-degree SRS because of the degree-bound shifts)."""
+        prefix_add = _prefix_add_j()
+        comb = jnp.zeros((max_len, D), jnp.float32)
+        for i, (coeffs, off) in enumerate(zip(polys, offsets)):
+            scaled = F.mul(coeffs, xi_rows[i][None, :])
+            seg = F.add(
+                jax.lax.dynamic_slice_in_dim(comb, off, coeffs.shape[0]),
+                scaled)
+            comb = jax.lax.dynamic_update_slice_in_dim(comb, seg, off, 0)
+        z_dig, zinv_dig = z_pair
+        prefix_chunks = []
+        carry = None
+        c0 = 0
+        for zc in P.powers_chunks(z_dig, max_len):
+            cl = zc.shape[0]
+            pc = prefix_add(F.mul(comb[c0 : c0 + cl], zc))
+            if carry is not None:
+                pc = F.add(pc, carry[None, :])
+            carry = pc[-1]
+            prefix_chunks.append(pc)
+            c0 += cl
+        f_z = carry
+        out = []
+        for pc, ic in zip(prefix_chunks, P.powers_chunks(zinv_dig, max_len)):
+            out.append(F.mul(F.mul(F.sub(f_z[None, :], pc), ic),
+                             zinv_dig[None, :]))
+        return jnp.concatenate(out)[: max_len - 1]
+
     def _batch_open(self, polys, z: int, xi: int) -> kzg.OpeningProof:
         max_len = max(off + p.shape[0] for p, off, _ in polys)
         comb_rand = [0] * (kzg.HIDING_POWERS + 1)
@@ -731,7 +794,9 @@ class JaxProver:
             xi_pow = xi_pow * xi % R_MOD
         xi_rows = jnp.asarray(ints_to_digits(F, xi_pows))
         z_pair = (P.scalar(z), P.scalar(inv_mod(z, R_MOD)))
-        w_coeffs = self._open_quotient(
+        quotient = (self._open_quotient_big
+                    if max_len > P.BIG_SCAN_N else self._open_quotient)
+        w_coeffs = quotient(
             tuple(p for p, _off, _r in polys), xi_rows, z_pair,
             tuple(off for _p, off, _r in polys), max_len,
         )

@@ -113,8 +113,13 @@ class F32Ops:
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
         self.inv = jax.jit(self.inv)
-        # one dispatch instead of ~3 log n (hillis levels + Fermat pow)
-        self.batch_inv = jax.jit(self.batch_inv)
+        # one dispatch instead of ~3 log n (hillis levels + Fermat pow);
+        # lengths above _BIG_SCAN_N run the chunked path (one monolithic
+        # scan graph at 2^22 rows OOMs 16 GB HBM — see poly_jax.BIG_SCAN_N)
+        self._batch_inv_j = jax.jit(self.batch_inv)
+        self._prefix_mul_j = jax.jit(self._prefix_mul)
+        self._suffix_mul_j = jax.jit(self._suffix_mul)
+        self.batch_inv = self._batch_inv_sized
         self.to_canonical_limbs = jax.jit(self.to_canonical_limbs)
         self.from_limb16 = jax.jit(self.from_limb16)
         self.is_zero = jax.jit(self.is_zero)
@@ -220,6 +225,53 @@ class F32Ops:
         s_shift = jnp.concatenate([suffix[1:], one[:1]], axis=0)
         out = self.mul(self.mul(p_shift, s_shift), total_inv)
         return jnp.where(is_zero[..., None], 0.0, out)
+
+    def _prefix_mul(self, a: jnp.ndarray) -> jnp.ndarray:
+        from .scan_utils import hillis_scan
+
+        return hillis_scan(self.mul, a)
+
+    def _suffix_mul(self, a: jnp.ndarray) -> jnp.ndarray:
+        from .scan_utils import hillis_scan
+
+        return hillis_scan(self.mul, a, reverse=True)
+
+    _BIG_SCAN_N = 1 << 20
+
+    def _batch_inv_sized(self, a: jnp.ndarray):
+        """batch_inv dispatch: single fused program below _BIG_SCAN_N,
+        chunked two-pass Montgomery trick above it. The chunked path does
+        NOT special-case zeros (its only callers invert challenge-offset
+        denominators, zero with probability ~2^-253; a zero would yield a
+        wrong proof the verifier rejects, not a panic)."""
+        n = a.shape[0]
+        C = self._BIG_SCAN_N
+        if n <= C or a.ndim != 2:
+            return self._batch_inv_j(a)
+        one = jnp.broadcast_to(self.one_mont, (1, self.D)).astype(
+            jnp.float32)
+        pres = [self._prefix_mul_j(a[c0 : c0 + C])
+                for c0 in range(0, n, C)]
+        sufs = [self._suffix_mul_j(a[c0 : c0 + C])
+                for c0 in range(0, n, C)]
+        k = len(pres)
+        offs = [one[0]]
+        for i in range(1, k):
+            offs.append(self.mul(offs[-1], pres[i - 1][-1]))
+        soffs = [one[0]] * k
+        for i in range(k - 2, -1, -1):
+            soffs[i] = self.mul(soffs[i + 1], sufs[i + 1][0])
+        total = self.mul(offs[-1], pres[-1][-1])
+        tinv = self.inv(total)
+        p_full = jnp.concatenate(
+            [pres[0]] + [self.mul(pres[i], offs[i][None, :])
+                         for i in range(1, k)])
+        s_full = jnp.concatenate(
+            [self.mul(sufs[i], soffs[i][None, :]) for i in range(k - 1)]
+            + [sufs[-1]])
+        p_shift = jnp.concatenate([one, p_full[:-1]], axis=0)
+        s_shift = jnp.concatenate([s_full[1:], one], axis=0)
+        return self.mul(self.mul(p_shift, s_shift), tinv[None, :])
 
     def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
         """Value == 0 (mod N) for fold-range inputs (< 6N): canonicalize

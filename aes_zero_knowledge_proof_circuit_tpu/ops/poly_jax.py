@@ -176,6 +176,13 @@ def mul_polys(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 # (round-2 judge finding: "eager dispatch storm"). One dispatch per call.
 
 
+# Scan programs above this length are CHUNKED: one monolithic hillis
+# program at 2^22 rows OOM'd the 16 GB chip at 23.5 GB — XLA's scheduler
+# keeps ~30 level temporaries of [n, D] live for ILP. 2^20-row graphs
+# (~5 GB peak) are proven in production by the 16-byte config.
+BIG_SCAN_N = 1 << 20
+
+
 def _tree_sum_body(vals: jnp.ndarray) -> jnp.ndarray:
     from .scan_utils import hillis_scan
 
@@ -186,8 +193,16 @@ _tree_sum_j = jax.jit(_tree_sum_body)
 
 
 def tree_sum(vals: jnp.ndarray) -> jnp.ndarray:
-    """Sum along axis 0 (mod r): log-depth suffix scan, single dispatch."""
-    return _tree_sum_j(vals)
+    """Sum along axis 0 (mod r): log-depth suffix scan; lengths above
+    BIG_SCAN_N sum per chunk and combine (memory-bounded graphs)."""
+    n = vals.shape[0]
+    if n <= BIG_SCAN_N:
+        return _tree_sum_j(vals)
+    parts = [
+        _tree_sum_j(vals[c0 : c0 + BIG_SCAN_N])
+        for c0 in range(0, n, BIG_SCAN_N)
+    ]
+    return _tree_sum_j(jnp.stack(parts))
 
 
 def _powers_body(z: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -202,9 +217,30 @@ def _powers_body(z: jnp.ndarray, n: int) -> jnp.ndarray:
 _powers_j = jax.jit(_powers_body, static_argnums=1)
 
 
+def powers_chunks(z: jnp.ndarray, n: int, chunk: int | None = None):
+    """1, z, ..., z^(n-1) as a list of [<=chunk, D] blocks: one scan
+    program per chunk plus a running z^(k*chunk) offset multiply."""
+    if chunk is None:
+        chunk = BIG_SCAN_N  # read at call time (tests shrink it)
+    if n <= chunk:
+        return [_powers_j(z, n)]
+    base = _powers_j(z, chunk)
+    zc = F.mul(base[chunk - 1], z)          # z^chunk
+    parts = [base]
+    off = None
+    for c0 in range(chunk, n, chunk):
+        off = zc if off is None else F.mul(off, zc)
+        m = min(chunk, n - c0)
+        parts.append(F.mul(base[:m], off[None, :]))
+    return parts
+
+
 def powers(z: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[n, D]: 1, z, z^2, ..., z^(n-1) via log-depth scan (one dispatch)."""
-    return _powers_j(z, n)
+    """[n, D]: 1, z, z^2, ..., z^(n-1); log-depth scan, chunked above
+    BIG_SCAN_N (the 2^22 h4 table was the 64-byte config's OOM)."""
+    if n <= BIG_SCAN_N:
+        return _powers_j(z, n)
+    return jnp.concatenate(powers_chunks(z, n))
 
 
 def _eval_at_body(p: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -245,12 +281,27 @@ def div_vanishing(p: jnp.ndarray, m: int):
     return _div_vanishing_j(p, m)
 
 
-@functools.partial(jax.jit, static_argnums=2)
 def segment_sum_mod(values: jnp.ndarray, seg_ids: jnp.ndarray,
                     num_segments: int) -> jnp.ndarray:
-    """Modular segment sum of [N, D] Montgomery digit elements by [N] ids.
+    """Modular segment sum of [N, D] digit elements by [N] ids; inputs
+    beyond the int32-exactness window run in chunks combined by field
+    adds (the 64-byte config concatenates 3 x 2^21 rows)."""
+    n = values.shape[0]
+    if n < (1 << 21):
+        return _segment_sum_mod_j(values, seg_ids, num_segments)
+    acc = None
+    for c0 in range(0, n, BIG_SCAN_N):
+        part = _segment_sum_mod_j(values[c0 : c0 + BIG_SCAN_N],
+                                  seg_ids[c0 : c0 + BIG_SCAN_N],
+                                  num_segments)
+        acc = part if acc is None else F.add(acc, part)
+    return acc
 
-    Digits (< 2^10) cast to int32 and integer-segment-summed (exact for
+
+@functools.partial(jax.jit, static_argnums=2)
+def _segment_sum_mod_j(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """Digits (< 2^10) cast to int32 and integer-segment-summed (exact for
     N < 2^20), then the widened column sums fold back into fold-range
     Montgomery digits:   V = V_lo + R * V_hi,  V_hi * R = mul(V_hi, R^2).
     """

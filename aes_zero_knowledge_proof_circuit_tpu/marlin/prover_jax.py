@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os as _os
 import random as _random
 import time as _time
 from typing import List, Optional, Sequence
@@ -48,6 +49,20 @@ def _prefix_add_j():
     return jax.jit(lambda x: hillis_scan(F.add, x))
 
 
+def _sync(*xs) -> None:
+    """REAL dispatch barrier: fetch one element of each array.
+
+    `block_until_ready` is a no-op under the axon remote plugin, so eager
+    dispatch runs arbitrarily far ahead of execution — every queued op's
+    output buffer is allocated up front, and at 64-byte scale the whole
+    round's intermediates coexist in HBM (RESOURCE_EXHAUSTED with only
+    ~6 GiB of Python-visible arrays live). A one-element device_get
+    forces the producing program (and everything before it) to finish."""
+    for x in xs:
+        if x is not None:
+            np.asarray(jax.device_get(x.ravel()[-1:]))
+
+
 class _StageTimer:
     """Per-stage prover timing (SURVEY.md §5: per-kernel/stage counters).
 
@@ -61,7 +76,16 @@ class _StageTimer:
     def mark(self, stage: str) -> None:
         now = _time.time()
         self.times[stage] = round(now - self._t0, 3)
-        log.info("prover stage %-18s %.2fs", stage, now - self._t0)
+        mem = ""
+        if _os.environ.get("ZKAES_LOG_MEM"):
+            try:
+                arrs = jax.live_arrays()
+                tot = sum(a.size * a.dtype.itemsize for a in arrs)
+                mem = "  live %d arrays %.2f GiB" % (len(arrs),
+                                                     tot / 2**30)
+            except Exception:
+                pass
+        log.info("prover stage %-18s %.2fs%s", stage, now - self._t0, mem)
         self._t0 = now
 
 
@@ -72,7 +96,14 @@ def to_msm_digits(coeffs_mont: jnp.ndarray) -> jnp.ndarray:
 
     The REDC-mul by raw 1 converts v*R -> v first; without it the commit
     scalars are off by the Montgomery radix (a latent round-1 bug: the
-    judge's -x run stopped before test_prover_jax ever executed)."""
+    judge's -x run stopped before test_prover_jax ever executed).
+    Chunked above BIG_SCAN_N rows: the canonicalization program's ~250
+    sequential big-row ops crashed the 64-byte config's compile."""
+    n = coeffs_mont.shape[0] if coeffs_mont.ndim == 2 else 0
+    if n > P.BIG_SCAN_N:
+        return jnp.concatenate(
+            [to_msm_digits(coeffs_mont[c0 : c0 + P.BIG_SCAN_N])
+             for c0 in range(0, n, P.BIG_SCAN_N)])
     with jax.ensure_compile_time_eval():
         one_raw = jnp.zeros((D,), jnp.float32).at[0].set(1.0)
     std = F.mul(coeffs_mont, one_raw)
@@ -131,8 +162,6 @@ class JaxProver:
         # tier, so auto flips to the device MSM only where native is
         # absent. Force with "native"/"device". The SRS upload for device
         # commits happens once per prover (DevicePoints) and is reused.
-        import os as _os
-
         from .. import native as _native
 
         self._srs_packed = getattr(pk.srs.powers_g1, "packed", None)
@@ -248,6 +277,18 @@ class JaxProver:
         self.vh_on_h4 = jnp.asarray(
             np.tile(ints_to_digits(F, cyc), (h4.n // 4, 1))
         )
+
+    def _h4_tables(self):
+        """(h4 powers, v_H cycle on H4) — freed after round 2 at large
+        scale (1.24 GiB) and rebuilt lazily on the next prove."""
+        if self.h4_pows is None:
+            h4 = domain(self.log_n + 2)
+            self.h4_pows = P.powers(P.scalar(h4.omega), h4.n)
+            wn4 = pow(h4.omega, self.n, R_MOD)
+            cyc = [(pow(wn4, i, R_MOD) - 1) % R_MOD for i in range(4)]
+            self.vh_on_h4 = jnp.asarray(
+                np.tile(ints_to_digits(F, cyc), (h4.n // 4, 1)))
+        return self.h4_pows, self.vh_on_h4
 
     # -- mesh-sharded NTT on the 4n outer-sumcheck domain ------------------
 
@@ -433,7 +474,7 @@ class JaxProver:
         w_hat, _w_rem = P.div_vanishing(w_full, x_size)
         del w_full
 
-        w_hat.block_until_ready()
+        _sync(w_hat, za_coeffs, zb_coeffs)
         st.mark("r1_polys")
         if zk:
             r_w = [rng.randrange(R_MOD) for _ in range(2)]
@@ -498,23 +539,42 @@ class JaxProver:
         )
         z_coeffs = P.add(w_vx, x_poly)
 
-        s4 = self._ntt4(s_coeffs)
-        za4 = self._ntt4(za_coeffs)
-        zb4 = self._ntt4(zb_coeffs)
-        t4 = self._ntt4(t_coeffs)
-        z4 = self._ntt4(z_coeffs)
-        del z_coeffs, w_vx
-        denom4 = F.batch_inv(F.sub(alpha_s[None, :], self.h4_pows))
-        r4 = F.mul(F.sub(P.scalar(v_h_alpha)[None, :], self.vh_on_h4), denom4)
-        del denom4
+        # The 4n-domain pipeline is ordered to MINIMIZE concurrent live
+        # tensors (at 64 bytes each [4n, D] tensor is 0.62 GiB and the
+        # whole-round working set exceeded HBM): denominators first, then
+        # the evaluation tensors streamed one at a time with syncs.
+        del w_vx
+        h4_pows, vh_on_h4 = self._h4_tables()
+        denom4 = F.batch_inv(F.sub(alpha_s[None, :], h4_pows))
+        r4 = F.mul(F.sub(P.scalar(v_h_alpha)[None, :], vh_on_h4), denom4)
+        del denom4, h4_pows, vh_on_h4
+        _sync(r4)
         ea, eb, ec = (P.scalar(v)[None, :] for v in (eta_a, eta_b, eta_c))
+        za4 = self._ntt4(za_coeffs)
+        _sync(za4)
+        zb4 = self._ntt4(zb_coeffs)
+        _sync(zb4)
         p4 = F.add(
             F.add(F.mul(ea, za4), F.mul(eb, zb4)),
             F.mul(ec, F.mul(za4, zb4)),
         )
         del za4, zb4
-        q1_4 = F.sub(F.add(s4, F.mul(r4, p4)), F.mul(t4, z4))
-        del s4, t4, z4, r4, p4
+        rp4 = F.mul(r4, p4)
+        del r4, p4
+        _sync(rp4)
+        s4 = self._ntt4(s_coeffs)
+        q_acc = F.add(s4, rp4)
+        del s4, rp4
+        _sync(q_acc)
+        t4 = self._ntt4(t_coeffs)
+        _sync(t4)
+        z4 = self._ntt4(z_coeffs)
+        del z_coeffs
+        tz4 = F.mul(t4, z4)
+        del t4, z4
+        q1_4 = F.sub(q_acc, tz4)
+        del q_acc, tz4
+        _sync(q1_4)
         q1 = self._intt4(q1_4)
         del q1_4
         h1_coeffs, rem = P.div_vanishing(q1, n)
@@ -529,7 +589,7 @@ class JaxProver:
         h1_coeffs = h1_coeffs[: min(h1_coeffs.shape[0], 2 * n + 2)]
         g1_coeffs = rem[1:]
         g1_shift = d_max - (n - 2)
-        h1_coeffs.block_until_ready()
+        _sync(h1_coeffs, g1_coeffs, t_coeffs)
         st.mark("r2_polys")
 
         ((comm_t, _), (comm_g1, rand_g1), (comm_g1s, rand_g1s),
@@ -541,6 +601,21 @@ class JaxProver:
                        (b"h1", comm_h1)):
             t.absorb_g1(lbl, c.point)
         beta1 = t.challenge_fr(b"beta1")
+
+        # Round 3's nine coset pipelines at 64-byte scale need every GiB:
+        # drop the 4n tables (rebuilt lazily next prove) and park the
+        # round-1/2 polynomials on the host until the evaluation stage.
+        import gc as _gc
+
+        self.h4_pows = None
+        self.vh_on_h4 = None
+        _parked = {}
+        for _nm in ("w_hat", "za_coeffs", "zb_coeffs", "s_coeffs",
+                    "t_coeffs", "g1_coeffs", "h1_coeffs"):
+            _parked[_nm] = np.asarray(locals()[_nm])
+        del w_hat, za_coeffs, zb_coeffs, s_coeffs, t_coeffs, g1_coeffs
+        del h1_coeffs
+        _gc.collect()
 
         # ---- round 3 -----------------------------------------------------
         v_h_beta1 = h.vanishing_eval(beta1)
@@ -577,22 +652,33 @@ class JaxProver:
             sigma_handles.append(P.tree_sum(f_vals))
             f_coeffs = P.intt(log_k, f_vals)
             del f_vals
+            _sync(f_coeffs)
             g2 = f_coeffs[1:]
             a_coeffs = P.scale(md["val_coeffs"], P.scalar(scale_int))
             # h2 = (a - b*f) / v_K directly on the coset g*K2 (2k points):
             # deg h2 = 2k-3 < 2k, so the coset interpolation is exact and
             # the 3k-degree product b*f never materializes (the 4k-domain
-            # NTTs it needed were the prover's peak-memory site).
+            # NTTs it needed were the prover's peak-memory site). The
+            # coset tensors are streamed one at a time with syncs — at 64
+            # bytes each [2k, D] tensor is 0.62 GiB and holding five plus
+            # the NTT internals exhausted HBM.
             log_k2 = log_k + 1
-            a2 = P.ntt_coset(log_k2, a_coeffs, g_cos)
             row2 = P.ntt_coset(log_k2, md["row_coeffs"], g_cos)
+            u2 = F.sub(alpha_s[None, :], row2)
+            del row2
+            _sync(u2)
             col2 = P.ntt_coset(log_k2, md["col_coeffs"], g_cos)
+            v2 = F.sub(beta1_s[None, :], col2)
+            del col2
+            b2 = F.mul(u2, v2)
+            del u2, v2
+            _sync(b2)
             f2 = P.ntt_coset(log_k2, f_coeffs, g_cos)
-            b2 = F.mul(
-                F.sub(alpha_s[None, :], row2),
-                F.sub(beta1_s[None, :], col2),
-            )
-            del row2, col2
+            bf2 = F.mul(b2, f2)
+            del b2, f2
+            _sync(bf2)
+            a2 = P.ntt_coset(log_k2, a_coeffs, g_cos)
+            del a_coeffs
             # v_K(g*w2^j) = g^k * (-1)^j - 1  (w2^k = -1), j-alternating
             gk = pow(g_cos, k, R_MOD)
             iv = ints_to_digits(
@@ -601,13 +687,17 @@ class JaxProver:
                  inv_mod((R_MOD - gk - 1) % R_MOD, R_MOD)],
             )
             vk_inv = jnp.tile(jnp.asarray(iv), (k, 1))
-            h2_evals = F.mul(F.sub(a2, F.mul(b2, f2)), vk_inv)
-            del a2, b2, f2
+            h2_evals = F.mul(F.sub(a2, bf2), vk_inv)
+            del a2, bf2, vk_inv
+            _sync(h2_evals)
             h2 = P.intt_coset(log_k2, h2_evals, g_cos)[: 2 * k - 2]
             del h2_evals
             g2_shifts.append(d_max - (k - 2))
             g2_list.append(g2)
             h2_list.append(h2)
+            # bound the async dispatch window (see _sync): without this
+            # all three matrices' coset pipelines queue simultaneously
+            _sync(h2, g2)
         # Phase 2: all 9 commits in one batch — matrix A's digit fetch
         # blocks only on A's polys; its native MSMs then run while the
         # device drains B's and C's pipelines. Transcript absorption keeps
@@ -635,6 +725,14 @@ class JaxProver:
         # canonicalization fetch) instead of 22 separate eval_at round
         # trips — the per-dispatch tunnel latency dominated this stage
         # (7.6s of the round-3 warm proof; VERDICT round-3 weak #5).
+        w_hat = jnp.asarray(_parked["w_hat"])
+        za_coeffs = jnp.asarray(_parked["za_coeffs"])
+        zb_coeffs = jnp.asarray(_parked["zb_coeffs"])
+        s_coeffs = jnp.asarray(_parked["s_coeffs"])
+        t_coeffs = jnp.asarray(_parked["t_coeffs"])
+        g1_coeffs = jnp.asarray(_parked["g1_coeffs"])
+        h1_coeffs = jnp.asarray(_parked["h1_coeffs"])
+        del _parked
         b1_polys = (w_hat, za_coeffs, zb_coeffs, s_coeffs, t_coeffs,
                     g1_coeffs, h1_coeffs)
         b2_polys = []

@@ -65,6 +65,14 @@ def _int_to_digits(v: int, n_digits: int) -> np.ndarray:
     return out
 
 
+def _sync1(x) -> None:
+    """Real dispatch barrier (block_until_ready is a no-op under the axon
+    plugin): fetch one element, forcing the producing program to finish.
+    Used by every chunked big-shape path so queued-op output buffers
+    cannot pile up in HBM (the 64-byte RESOURCE_EXHAUSTED root cause)."""
+    jax.device_get(x.ravel()[-1:])
+
+
 def _toeplitz(v: int, in_digits: int, out_digits: int) -> np.ndarray:
     """T[j, k] = digit_{k-j}(v) so (a @ T)[k] = sum_j a[j] digit_{k-j}(v)."""
     d = np.zeros(out_digits, np.float64)
@@ -108,7 +116,11 @@ class F32Ops:
         for j in range(self.D - 3, self.D):
             w[j] = float(2.0 ** (8 * (j - self.D)))
         self.carry_w = w
-        self.mul = jax.jit(self.mul)
+        # mul's conv-ladder graph holds ~20 [n, 2D] temporaries live under
+        # XLA's scheduler; above _BIG_SCAN_N rows that peak alone exceeds
+        # HBM (the 64-byte config's first OOM) — chunk the row axis.
+        self._mul_j = jax.jit(self.mul)
+        self.mul = self._mul_sized
         self.add = jax.jit(self.add)
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
@@ -226,6 +238,24 @@ class F32Ops:
         out = self.mul(self.mul(p_shift, s_shift), total_inv)
         return jnp.where(is_zero[..., None], 0.0, out)
 
+    def _mul_sized(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery mul with the row axis chunked above _BIG_SCAN_N
+        (works both eagerly and under trace — shapes are static)."""
+        C = self._BIG_SCAN_N
+        na = getattr(a, "ndim", 0)
+        nb = getattr(b, "ndim", 0)
+        if na == 2 and a.shape[0] > C and (
+                nb < 2 or b.shape[0] in (1, a.shape[0])):
+            outs = []
+            for c0 in range(0, a.shape[0], C):
+                bb = b if nb < 2 or b.shape[0] == 1 else b[c0 : c0 + C]
+                outs.append(self._mul_j(a[c0 : c0 + C], bb))
+                _sync1(outs[-1])
+            return jnp.concatenate(outs)
+        if nb == 2 and b.shape[0] > C and (na < 2 or a.shape[0] == 1):
+            return self._mul_sized(b, a)
+        return self._mul_j(a, b)
+
     def _prefix_mul(self, a: jnp.ndarray) -> jnp.ndarray:
         from .scan_utils import hillis_scan
 
@@ -236,7 +266,7 @@ class F32Ops:
 
         return hillis_scan(self.mul, a, reverse=True)
 
-    _BIG_SCAN_N = 1 << 20
+    _BIG_SCAN_N = 1 << 19
 
     def _batch_inv_sized(self, a: jnp.ndarray):
         """batch_inv dispatch: single fused program below _BIG_SCAN_N,
@@ -250,10 +280,14 @@ class F32Ops:
             return self._batch_inv_j(a)
         one = jnp.broadcast_to(self.one_mont, (1, self.D)).astype(
             jnp.float32)
-        pres = [self._prefix_mul_j(a[c0 : c0 + C])
-                for c0 in range(0, n, C)]
-        sufs = [self._suffix_mul_j(a[c0 : c0 + C])
-                for c0 in range(0, n, C)]
+        pres = []
+        for c0 in range(0, n, C):
+            pres.append(self._prefix_mul_j(a[c0 : c0 + C]))
+            _sync1(pres[-1])
+        sufs = []
+        for c0 in range(0, n, C):
+            sufs.append(self._suffix_mul_j(a[c0 : c0 + C]))
+            _sync1(sufs[-1])
         k = len(pres)
         offs = [one[0]]
         for i in range(1, k):

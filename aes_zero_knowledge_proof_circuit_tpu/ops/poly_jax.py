@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .field_f32 import fr_f32, ints_to_digits
+from .field_f32 import _sync1, fr_f32, ints_to_digits
 from .ntt_jax import ntt_engine
 
 F = fr_f32()
@@ -56,7 +56,7 @@ def scale(p: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 # chunked four-step decomposition instead.
 import os as _os
 
-FOURSTEP_LOG = int(_os.environ.get("ZKAES_NTT_FOURSTEP_LOG", "21"))
+FOURSTEP_LOG = int(_os.environ.get("ZKAES_NTT_FOURSTEP_LOG", "20"))
 
 
 def ntt_to(log_n: int, coeffs: jnp.ndarray) -> jnp.ndarray:
@@ -111,10 +111,10 @@ def _four_step_local(log_n: int, x: jnp.ndarray, inverse: bool,
     # pass 1: NTT_n2 along axis 0, then twiddle — chunked over n1 columns
     c1 = min(max_chunk_cols, n1)
     prog1 = _chunk_prog(log_n2, inverse, True)
-    parts = [
-        prog1(a[:, c0 : c0 + c1], tw[:, c0 : c0 + c1], args2)
-        for c0 in range(0, n1, c1)
-    ]
+    parts = []
+    for c0 in range(0, n1, c1):
+        parts.append(prog1(a[:, c0 : c0 + c1], tw[:, c0 : c0 + c1], args2))
+        _sync1(parts[-1])
     b = jnp.concatenate(parts, axis=1)
     del a, parts
     ct = jnp.transpose(b, (1, 0, 2))               # [n1, n2, D]
@@ -123,10 +123,10 @@ def _four_step_local(log_n: int, x: jnp.ndarray, inverse: bool,
     # pass 2: NTT_n1 along axis 0 — chunked over n2 columns
     c2 = min(max_chunk_cols, n2)
     prog2 = _chunk_prog(log_n1, inverse, False)
-    parts = [
-        prog2(ct[:, c0 : c0 + c2], None, args1)
-        for c0 in range(0, n2, c2)
-    ]
+    parts = []
+    for c0 in range(0, n2, c2):
+        parts.append(prog2(ct[:, c0 : c0 + c2], None, args1))
+        _sync1(parts[-1])
     out = jnp.concatenate(parts, axis=1)
     # d[k1][k2] = X[k1*n2 + k2]: row-major flatten IS the output order
     # (inverse: both passes scale by 1/n1 and 1/n2 -> total 1/n)
@@ -148,17 +148,17 @@ def ntt_coset(log_n: int, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
 
     The coset trick lets round-3 compute h2 = (a - b f)/v_K directly on 2k
     points instead of materializing the 3k-degree product b*f on a 4k
-    domain — the 2^21+ tensors there were the prover's OOM site."""
-    eng = ntt_engine(log_n)
+    domain — the 2^21+ tensors there were the prover's OOM site. Routes
+    through ntt_to/intt so big domains take the chunked four-step path."""
+    n = 1 << log_n
     pw = _coset_powers(log_n, g, False)
-    return eng.ntt(F.mul(pad_to(coeffs, eng.n), pw))
+    return ntt_to(log_n, F.mul(pad_to(coeffs, n), pw))
 
 
 def intt_coset(log_n: int, evals: jnp.ndarray, g: int) -> jnp.ndarray:
     """Interpolate from evaluations on g*<w_n> (exact for deg < 2^log_n)."""
-    eng = ntt_engine(log_n)
     pw = _coset_powers(log_n, g, True)
-    return F.mul(eng.intt(evals), pw)
+    return F.mul(intt(log_n, evals), pw)
 
 
 def mul_polys(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -180,7 +180,7 @@ def mul_polys(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 # program at 2^22 rows OOM'd the 16 GB chip at 23.5 GB — XLA's scheduler
 # keeps ~30 level temporaries of [n, D] live for ILP. 2^20-row graphs
 # (~5 GB peak) are proven in production by the 16-byte config.
-BIG_SCAN_N = 1 << 20
+BIG_SCAN_N = 1 << 19
 
 
 def _tree_sum_body(vals: jnp.ndarray) -> jnp.ndarray:
@@ -198,10 +198,10 @@ def tree_sum(vals: jnp.ndarray) -> jnp.ndarray:
     n = vals.shape[0]
     if n <= BIG_SCAN_N:
         return _tree_sum_j(vals)
-    parts = [
-        _tree_sum_j(vals[c0 : c0 + BIG_SCAN_N])
-        for c0 in range(0, n, BIG_SCAN_N)
-    ]
+    parts = []
+    for c0 in range(0, n, BIG_SCAN_N):
+        parts.append(_tree_sum_j(vals[c0 : c0 + BIG_SCAN_N]))
+        _sync1(parts[-1])
     return _tree_sum_j(jnp.stack(parts))
 
 
@@ -232,6 +232,7 @@ def powers_chunks(z: jnp.ndarray, n: int, chunk: int | None = None):
         off = zc if off is None else F.mul(off, zc)
         m = min(chunk, n - c0)
         parts.append(F.mul(base[:m], off[None, :]))
+        _sync1(parts[-1])
     return parts
 
 
@@ -295,6 +296,7 @@ def segment_sum_mod(values: jnp.ndarray, seg_ids: jnp.ndarray,
                                   seg_ids[c0 : c0 + BIG_SCAN_N],
                                   num_segments)
         acc = part if acc is None else F.add(acc, part)
+        _sync1(acc)
     return acc
 
 

@@ -295,3 +295,32 @@ def test_plonk_reuses_marlin_srs():
     proof = prove(pk, _arith_assignment(vars_, 2, 9), [z], c,
                   rng=random.Random(7))
     assert verify(pk.vk, proof, [z])
+
+
+def test_plonk_device_prover_matches_host_and_verifies():
+    """The device-path Plonk prover (plonk/backend_jax.py) produces a
+    byte-identical proof to the host prover for the same rng seed (same
+    blinding draw order, same transcript) and verifies; tampered public
+    input still rejected."""
+    from aes_zero_knowledge_proof_circuit_tpu.plonk.backend_jax import (
+        JaxPlonkProver,
+    )
+
+    c, vars_ = _arith_circuit()
+    pk = setup(c, rng=random.Random(1))
+    xv, yv = 6, 11
+    z = (xv * yv + xv + 3) % R_MOD
+    assign = _arith_assignment(vars_, xv, yv)
+    host_proof = prove(pk, assign, [z], c, rng=random.Random(5))
+    jp = JaxPlonkProver(pk)
+    dev_proof = jp.prove(assign, [z], c, rng=random.Random(5))
+    assert dev_proof.comm_a.point == host_proof.comm_a.point
+    assert dev_proof.comm_z.point == host_proof.comm_z.point
+    assert [cc.point for cc in dev_proof.comm_t] == [
+        cc.point for cc in host_proof.comm_t]
+    assert (dev_proof.eval_a, dev_proof.eval_zw) == (
+        host_proof.eval_a, host_proof.eval_zw)
+    assert dev_proof.w_zeta.point == host_proof.w_zeta.point
+    assert dev_proof.w_zeta_omega.point == host_proof.w_zeta_omega.point
+    assert verify(pk.vk, dev_proof, [z])
+    assert not verify(pk.vk, dev_proof, [(z + 1) % R_MOD])

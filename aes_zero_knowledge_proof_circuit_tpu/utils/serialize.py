@@ -73,7 +73,17 @@ def _r_u32(b: BinaryIO) -> int:
 # -- proof ------------------------------------------------------------------
 
 
+def _ark_container_enabled() -> bool:
+    import os
+
+    return os.environ.get("ZKAES_PROOF_CONTAINER", "").lower() == "ark"
+
+
 def serialize_proof(proof: MarlinProof) -> bytes:
+    if _ark_container_enabled():
+        from .ark_container import proof_to_ark_bytes
+
+        return proof_to_ark_bytes(proof)
     b = io.BytesIO()
     b.write(MAGIC)
     _w_u32(b, VERSION)
@@ -103,6 +113,13 @@ def serialize_proof(proof: MarlinProof) -> bytes:
 def deserialize_proof(data: bytes) -> MarlinProof:
     """Reference API analog: simpleworks::marlin::serialization::
     deserialize_proof (re-export src/lib.rs:52)."""
+    if data[:8] != MAGIC and (_ark_container_enabled() or data[:1] == b"\x03"):
+        # ark-layout containers have no magic; their first 8 bytes are the
+        # u64 LE round count (3 => first byte 0x03, which can never collide
+        # with MAGIC's 'Z'). See utils/ark_container.py.
+        from .ark_container import proof_from_ark_bytes
+
+        return proof_from_ark_bytes(data)
     b = io.BytesIO(data)
     if b.read(8) != MAGIC:
         raise ValueError("bad magic")

@@ -34,18 +34,24 @@ def main() -> None:
     raw = rng.integers(0, 256, size=(1 << log_n, F.D), dtype=np.int64)
     x = F.mul(jnp.asarray(raw, jnp.float32), F.r2_digits)
 
+    def _sync(a):
+        # block_until_ready is a no-op under the axon remote plugin (the
+        # round-3 phantom sub-ms numbers) — a one-element fetch is a real
+        # execution barrier.
+        np.asarray(jax.device_get(a[-1, -1]))
+
     for label, use_pallas in (("ntt_2pow20_pallas_ms", True),
                               ("ntt_2pow20_xla_ms", False)):
         eng = NTTEngine(log_n, use_pallas=use_pallas)
         t0 = time.time()
-        eng.ntt(x).block_until_ready()
+        _sync(eng.ntt(x))
         compile_s = time.time() - t0
         iters = 5
         t0 = time.time()
         y = x
         for _ in range(iters):
             y = eng.ntt(y)
-        y.block_until_ready()
+        _sync(y)
         ms = (time.time() - t0) / iters * 1000
         out[label] = round(ms, 2)
         out[label + "_compile_s"] = round(compile_s, 1)

@@ -50,3 +50,40 @@ def test_proof_and_vk_roundtrip():
     with pytest.raises(Exception):
         bad = ser.deserialize_proof(bytes(corrupted))
         assert not verifier.verify(vk_back, inst, bad)
+
+
+def test_ark_container_roundtrip():
+    """Flag-gated ark-layout container: round-trips, parses generically, and
+    the deserialized proof still verifies (utils/ark_container.py)."""
+    from tests.test_marlin import build_toy_circuit
+
+    from aes_zero_knowledge_proof_circuit_tpu.utils import ark_container as ac
+
+    r = random.Random(78)
+    cs, assignment = build_toy_circuit()
+    na, nb, nc = cs.nnz()
+    srs = indexer.generate_universal_srs(
+        cs.num_constraints, cs.num_variables, max(na, nb, nc), r
+    )
+    pk = indexer.index(cs, srs)
+    inst, wit = assignment(2, 3)
+    proof = prover.prove(pk, inst, wit, rng=r, zk=True)
+
+    blob = ac.proof_to_ark_bytes(proof)
+    # arkworks derive framing: u64 LE round count leads the container
+    assert blob[:8] == (3).to_bytes(8, "little")
+    back = ac.proof_from_ark_bytes(blob)
+    assert ac.proof_to_ark_bytes(back) == blob
+    assert verifier.verify(pk.vk, inst, back)
+
+    # the generic entry point auto-detects the ark layout
+    assert ser.serialize_proof(ser.deserialize_proof(blob)) is not None
+
+    # env flag routes serialize_proof through the ark layout
+    import os
+
+    os.environ["ZKAES_PROOF_CONTAINER"] = "ark"
+    try:
+        assert ser.serialize_proof(proof) == blob
+    finally:
+        del os.environ["ZKAES_PROOF_CONTAINER"]

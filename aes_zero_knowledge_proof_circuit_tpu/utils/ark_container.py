@@ -51,7 +51,6 @@ from . import ark_serialize as ark
 # self-description and deserialization checks.
 _ROUND1 = ("w", "za", "zb", "s")
 _ROUND2 = ("t", "g1", "h1")
-_SHIFTED = frozenset({"g1", "g2"})  # degree-bounded commitments
 
 
 # -- arkworks 0.3 derive primitives ----------------------------------------
@@ -195,6 +194,15 @@ def proof_from_ark_bytes(data: bytes):
         raise ValueError("beta2 evaluation block not divisible per matrix")
     per = len(rest) // n_mat
     evals_beta2 = [rest[m * per:(m + 1) * per] for m in range(n_mat)]
+    # structural validation (clean parse errors instead of verifier
+    # IndexError/AttributeError on malformed blobs)
+    if len(sigmas) != n_mat:
+        raise ValueError(
+            f"sigma count {len(sigmas)} != matrix count {n_mat}")
+    if per != 5:
+        raise ValueError(f"expected 5 beta2 evaluations per matrix, {per}")
+    if len(evals) != n_b1 + 5 * n_mat:
+        raise ValueError("evaluation count mismatch")
 
     return MarlinProof(
         comm_w=r1[0][0], comm_za=r1[1][0], comm_zb=r1[2][0], comm_s=r1[3][0],
@@ -203,7 +211,13 @@ def proof_from_ark_bytes(data: bytes):
         else kzg.Commitment(g1_infinity()),
         comm_h1=r2[2][0],
         comm_g2=[r3[2 * m][0] for m in range(n_mat)],
-        comm_g2_shift=[r3[2 * m][1] for m in range(n_mat)],
+        # absent shifted commitments degrade to infinity uniformly with
+        # the g1 handling above (such proofs fail verification; they must
+        # not crash the verifier with a None attribute error)
+        comm_g2_shift=[
+            r3[2 * m][1] if r3[2 * m][1] is not None
+            else kzg.Commitment(g1_infinity())
+            for m in range(n_mat)],
         comm_h2=[r3[2 * m + 1][0] for m in range(n_mat)],
         sigmas=sigmas,
         evals_beta1=evals_beta1,

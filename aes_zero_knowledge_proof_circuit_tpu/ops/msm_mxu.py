@@ -81,7 +81,10 @@ def _buckets(c: int) -> int:
 
 
 class PlainPoints:
-    """Affine G1 points as plain digit columns on device: x, y [64, N].
+    """Affine G1 points as plain digit columns on device: x, y [64, N]
+    **uint8** (canonical digits; 4x less HBM than int32 — the 2^22 SRS
+    is 0.54 GB instead of 2.1, which is what lets the 64-byte prover fit
+    beside it).
 
     Built from the SRS checkpoint's packed [N, 2, 24] uint32 16-bit limb
     array with two cheap bit ops — no host bigint work and no Montgomery
@@ -101,15 +104,15 @@ class PlainPoints:
             hi = limbs >> 8
             dig = jnp.stack([lo, hi], axis=-1).reshape(-1, 48)     # [N, 48]
             dig = jnp.pad(dig, ((0, 0), (0, PAD_IN - 48)))
-            cols.append(dig.T)                                     # [64, N]
+            cols.append(dig.T.astype(jnp.uint8))                   # [64, N]
         return cls(cols[0], cols[1])
 
     @classmethod
     def from_affine(cls, points) -> "PlainPoints":
         xs = [0 if p.inf else int(p.x) for p in points]
         ys = [0 if p.inf else int(p.y) for p in points]
-        return cls(jnp.asarray(mf.ints_to_cols(xs)),
-                   jnp.asarray(mf.ints_to_cols(ys)))
+        return cls(jnp.asarray(mf.ints_to_cols(xs)).astype(jnp.uint8),
+                   jnp.asarray(mf.ints_to_cols(ys)).astype(jnp.uint8))
 
     def slice(self, start: int, length: int) -> "PlainPoints":
         assert start + length <= self.n, (
@@ -327,8 +330,8 @@ def _scan_kernel(qx_ref, qy_ref, fl_ref, *rest, chunk: int):
     def body(c, acc):
         ax, ay, az = acc
         s = (pl.ds(c, 1), slice(None), slice(None))
-        qx = qx_ref[s][0]
-        qy = qy_ref[s][0]
+        qx = qx_ref[s][0].astype(jnp.int32)     # points stream as uint8
+        qy = qy_ref[s][0].astype(jnp.int32)
         fl = fl_ref[s][0]                       # [8, LANES] int32
         seg = fl[0:1] != 0                      # new-segment flag
         neg = fl[1:2] != 0                      # negate q
@@ -344,9 +347,10 @@ def _scan_kernel(qx_ref, qy_ref, fl_ref, *rest, chunk: int):
         ax = jnp.where(seg, jnp.where(valid, qx, jnp.zeros_like(ax)), sx)
         ay = jnp.where(seg, jnp.where(valid, qy, jnp.zeros_like(ay)), sy)
         az = jnp.where(seg, vz, sz)
-        ox_ref[s] = ax[None]
-        oy_ref[s] = ay[None]
-        oz_ref[s] = az[None]
+        # streams narrow to int16: band digits stay in (-2, ~900)
+        ox_ref[s] = ax.astype(jnp.int16)[None]
+        oy_ref[s] = ay.astype(jnp.int16)[None]
+        oz_ref[s] = az.astype(jnp.int16)[None]
         return ax, ay, az
 
     acc0 = (accx[:], accy[:], accz[:])
@@ -368,7 +372,7 @@ def _scan_call(steps: int, interpret: bool, chunk: int = SCAN_CHUNK):
         pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for s in cs_shapes
     ]
-    shp = jax.ShapeDtypeStruct((steps, PAD_IN, LANES), jnp.int32)
+    shp = jax.ShapeDtypeStruct((steps, PAD_IN, LANES), jnp.int16)
     call = pl.pallas_call(
         functools.partial(_scan_kernel, chunk=chunk),
         grid=(steps // chunk,),
@@ -420,7 +424,7 @@ def _prep_window(px, py, dwin, neg, valid):
     oc = order.reshape(LANES, steps).swapaxes(0, 1)        # [steps, LANES]
     ds = dwin[oc]
     sx = jnp.moveaxis(px[:, oc], 0, 1)                     # [steps, 64, L]
-    sy = jnp.moveaxis(py[:, oc], 0, 1)
+    sy = jnp.moveaxis(py[:, oc], 0, 1)                     # (uint8)
     sneg = neg[oc]
     svalid = valid[oc]
     first = jnp.ones((1, LANES), bool)
@@ -457,9 +461,9 @@ def _compact_tails(ox, oy, oz, ds, newseg, c: int):
     def flat_lm(a):                                        # [steps, 64, L]
         return jnp.transpose(a, (2, 0, 1)).reshape(-1, PAD_IN)
 
-    cx = flat_lm(ox)[idx].T                                # [64, tail_cap]
-    cy = flat_lm(oy)[idx].T
-    cz = flat_lm(oz)[idx].T
+    cx = flat_lm(ox)[idx].T.astype(jnp.int32)              # [64, tail_cap]
+    cy = flat_lm(oy)[idx].T.astype(jnp.int32)
+    cz = flat_lm(oz)[idx].T.astype(jnp.int32)
     pad_inf = (cbucket >= big)[None, :]
     cz = jnp.where(pad_inf, 0, cz)
     segs = jnp.concatenate(

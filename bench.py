@@ -72,11 +72,19 @@ def _bench_block_proof():
     _stage("warm-up prove done; verifying")
     ct = api.compute_ciphertext(msg, key)
     assert api.verify_encryption(vk, proof, ct), "bench proof failed to verify"
-    _stage("verified; timing warm proof")
-    t0 = time.time()
-    api.encrypt(msg, key, pk)
-    dt = time.time() - t0
-    _stage(f"warm prove done in {dt:.1f}s")
+    _stage("verified; timing warm proves")
+    # median of three warm proves (VERDICT r4 weak #5: report the
+    # driver-reproducible number, not one cherry-picked best run)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        api.encrypt(msg, key, pk)
+        times.append(time.time() - t0)
+        _stage(f"warm prove {i + 1}/3: {times[-1]:.1f}s")
+    times.sort()
+    dt = times[1]
+    _stage(f"warm prove median {dt:.1f}s (min {times[0]:.1f}, "
+           f"max {times[2]:.1f})")
     result = {
         "metric": "aes128_block_proofs_per_sec",
         "value": round(1.0 / dt, 4),
@@ -87,6 +95,7 @@ def _bench_block_proof():
         os.makedirs("artifacts", exist_ok=True)
         with open("artifacts/bench_full_path.json", "w") as f:
             json.dump({**result, "warm_prove_seconds": round(dt, 1),
+                       "warm_prove_all": [round(t, 1) for t in times],
                        "stage_times": stages,
                        "recorded": time.strftime("%Y-%m-%dT%H:%MZ",
                                                  time.gmtime())}, f, indent=1)

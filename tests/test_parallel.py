@@ -77,3 +77,34 @@ def test_sharded_msm_matches_host():
         jnp.asarray(msm_jax.scalars_to_digit_limbs(scalars)),
     )
     assert got == want
+
+
+@pytest.mark.slow
+def test_sharded_msm_deep():
+    """Sharded MSM at 512 points (64/device) — the depth check the
+    multichip dryrun cannot afford on its cold budget (the eager CPU-mesh
+    window sums cost ~1 s/point on a 2-core host; __graft_entry__.py)."""
+    from aes_zero_knowledge_proof_circuit_tpu.ops import curve_host as ch
+    from aes_zero_knowledge_proof_circuit_tpu.ops import curve_jax as cj
+    from aes_zero_knowledge_proof_circuit_tpu.ops import msm_host, msm_jax
+    from aes_zero_knowledge_proof_circuit_tpu.parallel.sharded_msm import (
+        msm_sharded,
+    )
+
+    mesh = make_mesh()
+    g = ch.g1_generator()
+    n = 512
+    step = g.mul_scalar(rng.randrange(1, R_MOD))
+    pts = [g.mul_scalar(rng.randrange(1, R_MOD))]
+    for _ in range(n - 1):
+        pts.append(pts[-1].add(step))
+    scalars = [rng.randrange(R_MOD) for _ in range(n)]
+    want = msm_host.msm(pts, scalars)
+    import jax.numpy as jnp
+
+    got = msm_sharded(
+        mesh,
+        cj.affine_to_device(pts),
+        jnp.asarray(msm_jax.scalars_to_digit_limbs(scalars)),
+    )
+    assert got == want

@@ -526,22 +526,27 @@ def _window_tables_jit(interpret: bool, c: int):
     return functools.partial(_window_tables, interpret=interpret, c=c)
 
 
-def _fold_tables(cs, bx, by, bz, mask):
-    """[64, W, B+1] bucket tables + bit mask [B] -> [64, W]: the masked
-    tree-sum  sum_{b: mask} T_b.
+def _fold_tables(cs, bx, by, bz, sel):
+    """[64, W, B+1] bucket tables + set-bucket indices [S] -> [64, W]:
+    the tree-sum  sum_{b in sel} T_b.
 
     Every addition here combines partial sums over DISJOINT bucket
-    ranges, so two operands can only be equal by negligible-probability
+    subsets, so two operands can only be equal by negligible-probability
     collision or by being exact-zero infinities — never by the nested-
     suffix structure that breaks incomplete adds (two nested suffix sums
     over an empty gap are group-equal with different Jacobian
     representations; the digit-equality doubling guard cannot see that).
     That is why the bucket-weighted sum sum_b b*T_b is decomposed by
-    BITS of b (msm_mxu host combine) instead of by suffix scans."""
-    x, y, z = bx[..., 1:], by[..., 1:], bz[..., 1:]        # drop slot 0
-    z = jnp.where(mask[None, None, :], z, 0)               # mask -> infinity
+    BITS of b (msm_mxu host combine) instead of by suffix scans — and
+    only the ~B/2 set buckets per bit are gathered into the tree (the
+    infinity slots of a full masked tree cost the same multiplies)."""
+    x, y, z = bx[..., sel], by[..., sel], bz[..., sel]
     while x.shape[-1] > 1:
-        h = x.shape[-1] // 2
+        h = (x.shape[-1] + 1) // 2
+        pad = 2 * h - x.shape[-1]
+        if pad:
+            zs = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+            x, y, z = (jnp.pad(a, zs) for a in (x, y, z))  # inf padding
         lo = (x[..., :h], y[..., :h], z[..., :h])
         hi = (x[..., h:2 * h], y[..., h:2 * h], z[..., h:2 * h])
         x, y, z = jac_add_in(cs, lo, hi)
@@ -626,11 +631,12 @@ def msm_mxu(points: PlainPoints, limbs16, interpret: bool | None = None,
     # (see _fold_tables for why suffix scans are not usable here)
     nbits = c  # bucket indices go up to 2^(c-1) inclusive
     fold = _fold_tables_jit()
-    idx = jnp.arange(1, _buckets(c) + 1, dtype=jnp.int32)
     bit_sums = []
     for j in range(nbits):
-        m = ((idx >> j) & 1) == 1
-        bit_sums.append(fold(cs, bx, by, bz, m))
+        sel = np.asarray(
+            [b for b in range(1, _buckets(c) + 1) if (b >> j) & 1],
+            np.int32)
+        bit_sums.append(fold(cs, bx, by, bz, jnp.asarray(sel)))
 
     n_win = _n_windows(c)
     # host: exact per-window combine of the bit sums, then the window

@@ -89,6 +89,39 @@ def bits_lsb_first(data: bytes) -> List[int]:
     return out
 
 
+def _find_larger_srs(need: int):
+    """Smallest on-disk SRS checkpoint with degree >= need, if any."""
+    best = None
+    best_d = None
+    for p in CONFIG.srs_dir.glob("srs_bls377_v2_d*.npz"):
+        try:
+            d = int(p.stem.rsplit("_d", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        if d >= need and (best_d is None or d < best_d):
+            best, best_d = p, d
+    return best
+
+
+def _truncate_srs(srs: kzg.SRS, need: int) -> kzg.SRS:
+    """Degree-d prefix of a powers-of-tau SRS (same tau, valid SRS)."""
+    from .parallel.srs_gen import PackedPowers
+
+    powers = srs.powers_g1
+    packed = getattr(powers, "packed", None)
+    if packed is not None:
+        powers = PackedPowers(np.ascontiguousarray(packed[: need + 1]))
+    else:
+        powers = powers[: need + 1]
+    return kzg.SRS(
+        max_degree=need,
+        powers_g1=powers,
+        gamma_powers_g1=srs.gamma_powers_g1,
+        h=srs.h,
+        tau_h=srs.tau_h,
+    )
+
+
 def synthesize_keys(
     plaintext_length: int,
     rng=None,
@@ -120,9 +153,20 @@ def synthesize_keys(
     if srs is None:
         # v2: standard ark-bls12-377 generators (SRS depends on the G1 base)
         srs_path = CONFIG.srs_dir / f"srs_bls377_v2_d{need}.npz"
+        larger = _find_larger_srs(need) if not srs_path.exists() else None
         if srs_path.exists():
             log.info("loading SRS checkpoint %s", srs_path)
             srs = load_srs(str(srs_path))
+        elif larger is not None:
+            # A powers-of-tau SRS is universal downward: the degree-d
+            # prefix of a larger checkpoint is itself a valid SRS for the
+            # same tau (the reference's SRS is likewise sized once for
+            # the largest message, src/lib.rs:140-141). Reuse by
+            # truncation instead of regenerating ~minutes of fixed-base
+            # MSM.
+            log.info("truncating SRS checkpoint %s to degree %d",
+                     larger, need)
+            srs = _truncate_srs(load_srs(str(larger)), need)
         else:
             log.info("generating SRS of degree %d (backend=%s)", need, backend)
             from . import native as _native

@@ -138,6 +138,56 @@ def _rand_mont(rng: _random.Random, n: int) -> jnp.ndarray:
     return F.mul(jnp.asarray(raw), F.r2_digits)  # uniform < R, * R mod r
 
 
+def _schedule_msms(sizes: Sequence[int], lat: float, r_dev: float,
+                   r_nat: float) -> set:
+    """Choose which of a batch's MSMs run on the device tier.
+
+    Minimize-makespan greedy over the two lanes' measured cost models
+    (artifacts/msm_mxu_tpu.json fit): the device lane pays a fixed
+    dispatch latency `lat` seconds per MSM plus n/r_dev, the 2-core
+    native Pippenger lane pays n/r_nat with no fixed cost. Items are
+    placed largest-first on whichever lane finishes them sooner — so
+    small MSMs (where the device's fixed latency dominates) naturally
+    land on the host and the few big ones saturate the MXU. This
+    replaces the round-4 point-budget split, which handed the device a
+    fixed ~0.65 of the batch's points regardless of how many dispatch
+    latencies that cost (round-3's 9-MSM batch measured 28.6s against
+    a ~19s makespan-balanced bound).
+
+    Batches are small (the prover's largest is 9 MSMs), so the exact
+    optimum is found by enumerating device subsets; beyond 14 items a
+    largest-first greedy approximates it."""
+
+    def makespan(device_set: set) -> float:
+        t_dev = sum(lat + sizes[i] / r_dev for i in device_set)
+        t_nat = sum(s for i, s in enumerate(sizes)
+                    if i not in device_set) / r_nat
+        return max(t_dev, t_nat)
+
+    n = len(sizes)
+    if n <= 14:
+        best: set = set()
+        best_t = makespan(best)
+        for mask in range(1, 1 << n):
+            cand = {i for i in range(n) if (mask >> i) & 1}
+            t = makespan(cand)
+            if t < best_t:
+                best, best_t = cand, t
+        return best
+    t_dev = 0.0
+    t_nat = 0.0
+    device_set: set = set()
+    for i in sorted(range(n), key=lambda j: -sizes[j]):
+        fin_dev = t_dev + lat + sizes[i] / r_dev
+        fin_nat = t_nat + sizes[i] / r_nat
+        if fin_dev <= fin_nat:
+            t_dev = fin_dev
+            device_set.add(i)
+        else:
+            t_nat = fin_nat
+    return device_set
+
+
 class JaxProver:
     """Device-resident prover bound to one proving key.
 
@@ -185,6 +235,15 @@ class JaxProver:
         self._device_share = float(
             _os.environ.get("ZKAES_HYBRID_SHARE", _share_default)
             or "0")
+        # cost-model parameters for the makespan scheduler (seconds /
+        # points-per-second), fit to artifacts/msm_mxu_tpu.json: the
+        # MXU engine runs ~1.5s fixed per dispatch + ~0.28 Mpoints/s
+        # asymptotic; the 2-core native tier ~0.11 Mpoints/s.
+        self._dev_lat = float(_os.environ.get("ZKAES_MSM_DEV_LAT", "1.5"))
+        self._dev_rate = 1e6 * float(
+            _os.environ.get("ZKAES_MSM_DEV_RATE", "0.28"))
+        self._nat_rate = 1e6 * float(
+            _os.environ.get("ZKAES_MSM_NAT_RATE", "0.11"))
         # SRS powers on device (lazy: skipped entirely for native commits;
         # reuse the indexer's upload when present)
         self._srs_dev = getattr(pk, "_srs_dev", None)
@@ -398,29 +457,22 @@ class JaxProver:
 
             from .. import native
 
-            # Hybrid split: hand the device MSM a ~device_share slice of
-            # the batch's total points (largest items first — fewer
-            # dispatches per point) while both host cores run the native
-            # tier on the rest. The device worker's fetch releases the
-            # GIL, so all three lanes genuinely overlap.
+            # Hybrid split: makespan-balance the batch between the
+            # device MSM and the 2-core native tier (see _schedule_msms;
+            # both host cores run native Pippenger concurrently with the
+            # MXU engine — the device worker's fetch releases the GIL,
+            # so all three lanes genuinely overlap).
             sizes = [digits_list[i].shape[0] for i in range(len(items))]
             device_set: set = set()
             if self._device_share > 0 and len(items) > 1:
-                budget = self._device_share * sum(sizes)
-                for i in sorted(range(len(items)),
-                                key=lambda j: -sizes[j]):
-                    if budget <= 0:
-                        break
-                    device_set.add(i)
-                    budget -= sizes[i]
+                device_set = _schedule_msms(
+                    sizes, self._dev_lat, self._dev_rate, self._nat_rate)
 
             # fetch INSIDE the worker: item i's digit fetch only blocks on
             # item i's device pipeline, so earlier items' native MSMs run
             # on the host while the device still computes later items
             # (round-3 phase overlap depends on this)
-            def run(i):
-                if i in device_set:
-                    return self._msm_dev(items[i][1], digits_list[i])
+            def run_native(i):
                 arr = np.asarray(digits_list[i])
                 off = items[i][1]
                 return native.g1_msm_packed(
@@ -428,14 +480,29 @@ class JaxProver:
                     native.limbs16_to_u64(arr),
                 )
 
-            workers = 3 if device_set else 2
+            def run_device_lane(idxs):
+                # ONE worker drains the whole device lane in order — the
+                # MXU MSMs serialize on the chip anyway (the scheduler's
+                # cost model prices them that way), and keeping them off
+                # the native workers leaves both host cores to Pippenger
+                return {i: self._msm_dev(items[i][1], digits_list[i])
+                        for i in idxs}
+
+            results: dict = {}
+            workers = 2 + (1 if device_set else 0)
             with ThreadPoolExecutor(max_workers=workers) as ex:
-                # device items first so the TPU pipeline fills while the
-                # native workers start on the host slice
-                order = sorted(range(len(items)),
-                               key=lambda i: (i not in device_set, i))
-                fmap = {i: ex.submit(run, i) for i in order}
-                pts = [fmap[i].result() for i in range(len(items))]
+                futs = []
+                if device_set:
+                    futs.append(ex.submit(run_device_lane,
+                                          sorted(device_set)))
+                nat_map = {i: ex.submit(run_native, i)
+                           for i in range(len(items))
+                           if i not in device_set}
+                for f in futs:
+                    results.update(f.result())
+                for i, f in nat_map.items():
+                    results[i] = f.result()
+                pts = [results[i] for i in range(len(items))]
             log.info(
                 "commit_batch: %d MSMs (%d on device) in %.1fs",
                 len(items), len(device_set), _time.time() - t0)

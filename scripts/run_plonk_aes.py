@@ -50,9 +50,19 @@ def main() -> None:
     log.info("AES plonk circuit: %d gates, domain n=%d (built %.1fs)",
              len(ac.circuit.gates), data.n, time.time() - t0)
 
-    srs_path = CONFIG.srs_dir / "srs_bls377_v2_d1048576.npz"
+    from aes_zero_knowledge_proof_circuit_tpu import api
+
+    need = data.n + 8  # backend.setup requires max_degree >= n + 5
+    srs_path = CONFIG.srs_dir / f"srs_bls377_v2_d{need}.npz"
     t0 = time.time()
-    srs = load_srs(str(srs_path))
+    if srs_path.exists():
+        srs = load_srs(str(srs_path))
+    else:
+        larger = api._find_larger_srs(need)
+        assert larger is not None, (
+            f"no SRS checkpoint of degree >= {need} under {CONFIG.srs_dir}"
+        )
+        srs = api._truncate_srs(load_srs(str(larger)), need)
     log.info("SRS d=%d loaded %.1fs", srs.max_degree, time.time() - t0)
 
     t0 = time.time()

@@ -58,3 +58,36 @@ def test_jax_prover_zk_verifies(toy):
     bad = list(inst)
     bad[1] = (bad[1] + 1) % R_MOD
     assert not verifier.verify(pk.vk, bad, proof)
+
+
+def test_schedule_msms_makespan():
+    """Latency-aware hybrid split: small MSMs stay native, big ones go
+    to the device, and the greedy beats both single-lane extremes."""
+    from aes_zero_knowledge_proof_circuit_tpu.marlin.prover_jax import (
+        _schedule_msms,
+    )
+
+    lat, r_dev, r_nat = 1.5, 0.28e6, 0.11e6
+    # round-3 shape of the 16B proof: (g2, g2-shift, h2) per matrix
+    sizes = [2**18, 2**18, 2**19, 2**19, 2**19, 2**20, 2**19, 2**19, 2**20]
+    dev = _schedule_msms(sizes, lat, r_dev, r_nat)
+    assert 0 < len(dev) < len(sizes)
+
+    def makespan(device_set):
+        t_dev = sum(lat + sizes[i] / r_dev for i in device_set)
+        t_nat = sum(sizes[i] / r_nat
+                    for i in range(len(sizes)) if i not in device_set)
+        return max(t_dev, t_nat)
+
+    chosen = makespan(dev)
+    assert chosen <= makespan(set())  # all-native
+    assert chosen <= makespan(set(range(len(sizes))))  # all-device
+    # exhaustive optimum for small batches: no subset beats it
+    n = len(sizes)
+    assert all(chosen <= makespan({i for i in range(n) if (m >> i) & 1})
+               for m in range(1 << n))
+    # at least one of the two largest MSMs (h2 at 2^20) is on the device
+    assert dev & {5, 8}
+
+    # a single small MSM is cheaper on the host than one device latency
+    assert _schedule_msms([4096, 4096], lat, r_dev, r_nat) == set()

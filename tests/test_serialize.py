@@ -87,3 +87,35 @@ def test_ark_container_roundtrip():
         assert ser.serialize_proof(proof) == blob
     finally:
         del os.environ["ZKAES_PROOF_CONTAINER"]
+
+
+def test_srs_truncation_reuse(tmp_path, monkeypatch):
+    """A larger on-disk SRS checkpoint is reused by truncation: the
+    degree-d prefix of a powers-of-tau SRS is a valid SRS for the same
+    tau (api._find_larger_srs / api._truncate_srs)."""
+    from aes_zero_knowledge_proof_circuit_tpu import api
+    from aes_zero_knowledge_proof_circuit_tpu.utils.config import CONFIG
+
+    monkeypatch.setattr(CONFIG, "cache_dir", str(tmp_path))
+    srs = kzg.setup(64, rng)
+    ser.save_srs(str(CONFIG.srs_dir / "srs_bls377_v2_d64.npz"), srs)
+
+    found = api._find_larger_srs(16)
+    assert found is not None and found.name == "srs_bls377_v2_d64.npz"
+    assert api._find_larger_srs(65) is None
+
+    small = api._truncate_srs(ser.load_srs(str(found)), 16)
+    assert small.max_degree == 16
+    assert len(small.powers_g1) == 17
+    assert all(a == b for a, b in zip(small.powers_g1, srs.powers_g1))
+    assert small.h == srs.h and small.tau_h == srs.tau_h
+
+    # commit/open/check still consistent at the truncated degree
+    coeffs = [rng.randrange(kzg.R_MOD) for _ in range(17)]
+    comm, _ = kzg.commit(small, coeffs)
+    z = rng.randrange(kzg.R_MOD)
+    v = kzg.open_eval(coeffs, z)
+    xi = rng.randrange(kzg.R_MOD)
+    proof = kzg.batch_open(small, [(coeffs, 0, None)], z, xi)
+    assert kzg.batch_check(
+        small.verifier_part(), [comm], z, [v], proof, xi)

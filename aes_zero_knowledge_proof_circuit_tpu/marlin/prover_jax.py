@@ -447,7 +447,6 @@ class JaxProver:
         thread pool (ctypes releases the GIL) — SURVEY.md §2b "pipeline
         across AHP rounds": within a round, commits are independent."""
         t0 = _time.time()
-        digits_list = [to_msm_digits(c) for (c, _off, _h) in items]
         rand_list = [
             [rng.randrange(R_MOD) for _ in range(2)] if h else None
             for (_c, _off, h) in items
@@ -462,18 +461,19 @@ class JaxProver:
             # both host cores run native Pippenger concurrently with the
             # MXU engine — the device worker's fetch releases the GIL,
             # so all three lanes genuinely overlap).
-            sizes = [digits_list[i].shape[0] for i in range(len(items))]
+            sizes = [items[i][0].shape[0] for i in range(len(items))]
             device_set: set = set()
             if self._device_share > 0 and len(items) > 1:
                 device_set = _schedule_msms(
                     sizes, self._dev_lat, self._dev_rate, self._nat_rate)
 
-            # fetch INSIDE the worker: item i's digit fetch only blocks on
-            # item i's device pipeline, so earlier items' native MSMs run
-            # on the host while the device still computes later items
-            # (round-3 phase overlap depends on this)
+            # digit conversion + fetch INSIDE the worker: item i's digit
+            # tensor only materializes when its lane reaches it (the 64B
+            # round-3 batch OOMed with all 9 digit tensors converted up
+            # front, artifacts/e2e_64B_r5 crash), and a native item's
+            # fetch only blocks on its own device pipeline
             def run_native(i):
-                arr = np.asarray(digits_list[i])
+                arr = np.asarray(to_msm_digits(items[i][0]))
                 off = items[i][1]
                 return native.g1_msm_packed(
                     self._srs_packed[off : off + arr.shape[0]],
@@ -483,9 +483,11 @@ class JaxProver:
             def run_device_lane(idxs):
                 # ONE worker drains the whole device lane in order — the
                 # MXU MSMs serialize on the chip anyway (the scheduler's
-                # cost model prices them that way), and keeping them off
-                # the native workers leaves both host cores to Pippenger
-                return {i: self._msm_dev(items[i][1], digits_list[i])
+                # cost model prices them that way), keeping them off the
+                # native workers leaves both host cores to Pippenger, and
+                # one in-flight MSM bounds device transient memory
+                return {i: self._msm_dev(items[i][1],
+                                         to_msm_digits(items[i][0]))
                         for i in idxs}
 
             results: dict = {}
@@ -508,7 +510,7 @@ class JaxProver:
                 len(items), len(device_set), _time.time() - t0)
         else:
             pts = [
-                self._msm_dev(items[i][1], digits_list[i])
+                self._msm_dev(items[i][1], to_msm_digits(items[i][0]))
                 for i in range(len(items))
             ]
         out = []
@@ -772,6 +774,7 @@ class JaxProver:
             del u2, v2
             _sync(b2)
             f2 = P.ntt_coset(log_k2, f_coeffs, g_cos)
+            del f_coeffs  # g2 keeps the slice it needs
             bf2 = F.mul(b2, f2)
             del b2, f2
             _sync(bf2)
@@ -849,6 +852,20 @@ class JaxProver:
         xi2 = t.challenge_fr(b"xi2")
         st.mark("evals")
 
+        # Park the round-3 polynomials on the host through open_beta1:
+        # the opening quotient spans the full SRS degree (2^22 at 64B,
+        # via the degree-bound shifts) and its chunked power/prefix
+        # tensors OOMed HBM with g2/h2 (~4.3 GiB at 64B) still resident
+        # (artifacts/e2e_64B_r5 second crash). open_beta1 only touches
+        # rounds 1-2; g2/h2 come back for open_beta2 after the round-1/2
+        # polynomials are dropped.
+        g2_np = [np.asarray(g) for g in g2_list]
+        h2_np = [np.asarray(hh) for hh in h2_list]
+        # g2/h2 are also pinned by the r3 loop variables
+        del g2_list, h2_list, b1_polys, b2_polys, commit_items, flat
+        del g2, h2
+        _gc.collect()
+
         open_beta1 = self._batch_open(
             [
                 (w_hat, 0, rand_w), (za_coeffs, 0, rand_za),
@@ -859,6 +876,12 @@ class JaxProver:
             beta1, xi1,
         )
         st.mark("open_beta1")
+        del w_hat, za_coeffs, zb_coeffs, s_coeffs, t_coeffs, g1_coeffs
+        del h1_coeffs
+        _gc.collect()
+        g2_list = [jnp.asarray(g) for g in g2_np]
+        h2_list = [jnp.asarray(hh) for hh in h2_np]
+        del g2_np, h2_np
         beta2_polys = []
         for md, g2, h2, shift in zip(self.mat, g2_list, h2_list, g2_shifts):
             beta2_polys += [
@@ -957,20 +980,25 @@ class JaxProver:
                 scaled)
             comb = jax.lax.dynamic_update_slice_in_dim(comb, seg, off, 0)
         z_dig, zinv_dig = z_pair
+        zchunks = P.powers_chunks(z_dig, max_len)
         prefix_chunks = []
         carry = None
         c0 = 0
-        for zc in P.powers_chunks(z_dig, max_len):
+        for i, zc in enumerate(zchunks):
             cl = zc.shape[0]
             pc = prefix_add(F.mul(comb[c0 : c0 + cl], zc))
+            zchunks[i] = None  # free each power block as it is consumed
             if carry is not None:
                 pc = F.add(pc, carry[None, :])
             carry = pc[-1]
             prefix_chunks.append(pc)
             c0 += cl
+        del comb, zchunks  # [max_len, D] blocks; dead past this point
         f_z = carry
         out = []
-        for pc, ic in zip(prefix_chunks, P.powers_chunks(zinv_dig, max_len)):
+        for i, ic in enumerate(P.powers_chunks(zinv_dig, max_len)):
+            pc = prefix_chunks[i]
+            prefix_chunks[i] = None
             out.append(F.mul(F.mul(F.sub(f_z[None, :], pc), ic),
                              zinv_dig[None, :]))
         return jnp.concatenate(out)[: max_len - 1]

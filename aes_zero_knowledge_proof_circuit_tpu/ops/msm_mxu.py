@@ -614,6 +614,7 @@ def msm_mxu(points: PlainPoints, limbs16, interpret: bool | None = None,
 
     prog = _window_tables_jit(interpret, c)
     merge = _merge_tables_jit()
+    multi_seg = target > seg_n
     tabs = []
     for w in range(_n_windows(c)):
         acc = None
@@ -623,6 +624,15 @@ def msm_mxu(points: PlainPoints, limbs16, interpret: bool | None = None,
                      buckets[w, s0:s1], negs[w, s0:s1], valid[s0:s1])
             acc = t if acc is None else merge(cs, acc, t)
         tabs.append(acc)
+        if multi_seg:
+            # bound the async dispatch window: under the axon plugin a
+            # queued program's output buffers are allocated at enqueue
+            # (see prover_jax._sync), so letting all 20 windows x 4
+            # segments of a 2^22 MSM queue ahead holds tens of GB of
+            # scan-stream transients in HBM at once — the 64-byte
+            # round-3 OOM. One tiny fetch per window keeps at most a
+            # window's programs in flight.
+            np.asarray(jax.device_get(acc[2].ravel()[-1:]))
     bx = jnp.stack([t[0] for t in tabs], axis=1)           # [64, W, B+1]
     by = jnp.stack([t[1] for t in tabs], axis=1)
     bz = jnp.stack([t[2] for t in tabs], axis=1)

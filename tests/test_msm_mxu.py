@@ -219,3 +219,23 @@ class TestMsmMxu:
         a = MM.PlainPoints.from_packed(packed)
         b = MM.PlainPoints.from_affine(pts)
         assert bool(jnp.all(a.x == b.x)) and bool(jnp.all(a.y == b.y))
+
+
+class TestMsmMxuSegmented:
+    @pytest.mark.slow  # ~5 min interpret-mode
+    def test_multi_segment_merge_vs_host(self, monkeypatch):
+        """Forces the >MAX_SEGMENT path (64-byte-config MSM shape): two
+        512-point segments per window, bucket-table merge, and the
+        per-window dispatch-window sync (the 64B round-3 OOM fix)."""
+        monkeypatch.setattr(MM, "MAX_SEGMENT_LOG", 9)
+        random.seed(23)
+        g = g1_generator()
+        n = 600  # pads to 1024 = 2 segments
+        ks = [random.randrange(1, R_MOD) for _ in range(n)]
+        pts = [_host_mul(g, k) for k in ks]
+        scalars = [random.randrange(R_MOD) for _ in range(n)]
+        exp = msm_host.msm(pts, scalars)
+        got = MM.msm_mxu(MM.PlainPoints.from_affine(pts),
+                         scalars_to_digit_limbs(scalars),
+                         interpret=True, c=8)
+        assert (got.x, got.y, got.inf) == (exp.x, exp.y, exp.inf)

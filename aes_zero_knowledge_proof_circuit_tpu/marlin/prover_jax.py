@@ -541,6 +541,13 @@ class JaxProver:
         d_max = self.d_max
         assert len(instance) == r1cs.num_instance and instance[0] == 1
 
+        # release any cycle-held device buffers from a previous proof
+        # before this one starts allocating (the warm 64B prove OOMed in
+        # round 2 with the first proof's leftovers still resident)
+        import gc as _gc0
+
+        _gc0.collect()
+
         st = _StageTimer()
         t = Transcript()
         pk.vk.absorb_into(t)

@@ -45,10 +45,9 @@ def main() -> None:
     proof = api.encrypt(msg, key, pk)
     log.info("encrypt (first, incl. compiles): %.1fs", time.time() - t0)
 
-    t0 = time.time()
-    proof = api.encrypt(msg, key, pk)
-    log.info("encrypt (warm): %.1fs", time.time() - t0)
-
+    # verify/tamper/serialize BEFORE the warm re-prove so a late failure
+    # cannot erase the proof evidence (the warm 64B prove OOMed once
+    # after a completed first proof, artifacts/e2e_64B_r5c.log)
     ct = api.compute_ciphertext(msg, key)
     t0 = time.time()
     ok = api.verify_encryption(vk, proof, ct)
@@ -71,6 +70,13 @@ def main() -> None:
     log.info("proof size: %d bytes", len(blob))
     assert api.verify_encryption(vk, deserialize_proof(blob), ct)
     log.info("serialization round-trip verified — E2E COMPLETE")
+
+    if os.environ.get("ZKAES_E2E_WARM", "1") != "0":
+        t0 = time.time()
+        proof = api.encrypt(msg, key, pk)
+        log.info("encrypt (warm): %.1fs", time.time() - t0)
+        assert api.verify_encryption(vk, proof, ct)
+        log.info("warm proof verified")
 
 
 if __name__ == "__main__":
